@@ -1,0 +1,249 @@
+"""HTML -> linear sequence of text blocks with layout features.
+
+This is the engine's analogue of the reference's ViT patch feature
+extraction (/root/reference/manga_ocr/ocr.py:119-133): the noisy layout
+(an HTML page instead of a manga panel) is turned into a sequence of
+feature vectors, one per text block, that a downstream classifier scores.
+
+Design: a single streaming pass with stdlib ``html.parser.HTMLParser``
+(tolerant of malformed markup, auto-decodes character references, zero
+third-party deps — determinism matters more than parse fidelity here).
+The token stream is segmented at *block-level tag boundaries*: any open or
+close of a block-level element flushes the text accumulated since the last
+boundary as one :class:`Block`. Inline elements (``a``, ``span``, ``b``,
+``ruby`` …) do not flush, so `<p>see <a>here</a> now</p>` is one block.
+
+Features per block: innermost block tag, block-nesting depth,
+whitespace-free text length, whitespace-free anchor-text length (for link
+density), and whether the block sits inside a boilerplate landmark
+(nav/header/footer/aside) — the DOM-subtree analogue of the reference's
+mask anti-join that forbids background crops inside text boxes
+(generate_backgrounds.py:114-132, SURVEY.md §2.3 J5).
+
+Hard-noise subtrees are dropped entirely (never become blocks):
+script/style/noscript/template/svg/iframe, and ruby annotation ``rt``/
+``rp`` — annotation text is not ground truth; base text is kept. This is
+the inverse of the reference *adding* furigana markup after ``text_gt`` is
+fixed (synthetic_data_generator/generator.py:157-161; decided semantics
+SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Elements whose entire subtree is dropped (no text reaches any block).
+SUPPRESS_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "title",
+        "noscript",
+        "template",
+        "svg",
+        "iframe",
+        "object",
+        "embed",
+        "select",
+        "option",
+        "rt",  # ruby annotation: drop reading, keep base (SURVEY §7.4)
+        "rp",
+    }
+)
+
+# Landmark containers that are *prior evidence* of boilerplate. Their text
+# still becomes blocks (so it is counted in n_blocks_dropped and so the
+# link-density scorer is exercised), but the scorer treats them as
+# boilerplate (score.py).
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
+
+# Block-level boundary elements: opening or closing one flushes the
+# current text run as a Block.
+BLOCK_TAGS = frozenset(
+    {
+        "html",
+        "body",
+        "main",
+        "article",
+        "section",
+        "div",
+        "p",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "ul",
+        "ol",
+        "li",
+        "dl",
+        "dt",
+        "dd",
+        "table",
+        "thead",
+        "tbody",
+        "tr",
+        "td",
+        "th",
+        "blockquote",
+        "pre",
+        "figure",
+        "figcaption",
+        "form",
+        "fieldset",
+        "hr",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "address",
+        "center",
+        "details",
+        "summary",
+    }
+)
+
+# Void elements that act as an in-block soft break (become whitespace).
+_SOFT_BREAK = frozenset({"br", "wbr"})
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+@dataclass
+class Block:
+    """One linear text block with layout features (SURVEY.md §1.4)."""
+
+    block_id: int
+    tag: str  # innermost open block tag when the text started
+    depth: int  # block-nesting depth
+    text: str  # raw text (whitespace preserved; normalized later)
+    text_len: int  # whitespace-free character count
+    link_text_len: int  # whitespace-free chars inside <a> subtrees
+    in_boilerplate: bool  # under nav/header/footer/aside
+    # filled by score.py:
+    link_density: float = 0.0
+    score: float = 0.0
+    keep: bool = False
+
+
+def _ws_free_len(s: str) -> int:
+    return sum(len(part) for part in s.split())
+
+
+@dataclass
+class _Segment:
+    parts: list[str] = field(default_factory=list)
+    link_parts: list[str] = field(default_factory=list)
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._seg = _Segment()
+        self._block_stack: list[str] = []  # open block-level tags
+        self._suppress_depth = 0
+        self._anchor_depth = 0
+        self._boiler_depth = 0
+
+    # -- segment management -------------------------------------------------
+    def _flush(self) -> None:
+        text = "".join(self._seg.parts)
+        if text.strip():
+            tag = self._block_stack[-1] if self._block_stack else "body"
+            self.blocks.append(
+                Block(
+                    block_id=len(self.blocks),
+                    tag=tag,
+                    depth=len(self._block_stack),
+                    text=text,
+                    text_len=_ws_free_len(text),
+                    link_text_len=_ws_free_len("".join(self._seg.link_parts)),
+                    in_boilerplate=self._boiler_depth > 0,
+                )
+            )
+        self._seg = _Segment()
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in SUPPRESS_TAGS:
+            self._suppress_depth += 1
+            return
+        if self._suppress_depth:
+            return
+        if tag in _SOFT_BREAK:
+            self._seg.parts.append(" ")
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._block_stack.append(tag)
+            if tag in BOILERPLATE_TAGS:
+                self._boiler_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        # <br/>, <hr/> — treat like a start tag; suppress-subtree tags that
+        # self-close (e.g. <svg/>) open and close with no content.
+        if tag in SUPPRESS_TAGS:
+            return
+        if self._suppress_depth:
+            return
+        if tag in _SOFT_BREAK:
+            self._seg.parts.append(" ")
+        elif tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SUPPRESS_TAGS:
+            if self._suppress_depth:
+                self._suppress_depth -= 1
+            return
+        if self._suppress_depth:
+            return
+        if tag == "a":
+            if self._anchor_depth:
+                self._anchor_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            # tolerate malformed nesting: pop to the matching open tag if
+            # present, else ignore the stray close.
+            if tag in self._block_stack:
+                while self._block_stack:
+                    popped = self._block_stack.pop()
+                    if popped in BOILERPLATE_TAGS:
+                        self._boiler_depth -= 1
+                    if popped == tag:
+                        break
+
+    def handle_data(self, data: str) -> None:
+        if self._suppress_depth or not data:
+            return
+        self._seg.parts.append(data)
+        if self._anchor_depth:
+            self._seg.link_parts.append(data)
+
+    def close(self) -> None:  # flush trailing text of unclosed documents
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html_text: str) -> list[Block]:
+    """Parse HTML text into ordered text blocks; never raises.
+
+    Malformed input (unclosed tags, stray closers, empty documents,
+    replacement characters from bad bytes) degrades to best-effort blocks —
+    the bad-row tolerance the reference implements with per-item
+    try/except-and-continue (run.py:207-212, SURVEY.md §4 X6).
+    """
+    parser = _BlockParser()
+    try:
+        parser.feed(html_text)
+        parser.close()
+    except Exception:  # html.parser is robust, but never let a row kill a task
+        parser._flush()
+    return parser.blocks

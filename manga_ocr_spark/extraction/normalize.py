@@ -1,0 +1,77 @@
+"""Byte-stable text normalization.
+
+Plays the role of the reference's deterministic ``post_process``
+(/root/reference/manga_ocr/ocr.py:136-156): every string leaving the engine
+passes through exactly these rules, in exactly this order, so that golden
+files are byte-reproducible across runs and environments. Only stdlib
+(``unicodedata``, ``re``) is used — no third-party text libraries, so there
+is no dependency-version drift to pin.
+
+Rules (applied per text block, in order):
+
+1. Unicode NFC composition.
+2. Full-width ASCII fold: U+FF01..U+FF5E -> U+0021..U+007E and the
+   ideographic space U+3000 -> U+0020. This is the engine's analogue of the
+   reference's ``jaconv.h2z`` width canonicalization (ocr.py:155) — we fold
+   *toward* ASCII because web text is Latin-dominant, and we implement it as
+   an explicit table so behavior cannot drift with a library upgrade.
+3. Whitespace collapse: ``" ".join(s.split())`` — any run of Unicode
+   whitespace becomes one space, leading/trailing stripped. (Same operator
+   family as ocr.py:152's ``"".join(text.split())``; we keep single spaces
+   because web text is word-delimited.)
+4. Ellipsis canonicalization: runs of 2+ of [. or katakana middle dot]
+   become "...", then U+2026 HORIZONTAL ELLIPSIS becomes "..."
+   (same two rules and ordering as ocr.py:153-154).
+
+Blocks are joined with a single "\n" (decided semantics, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# U+FF01..U+FF5E are the full-width forms of U+0021..U+007E (offset 0xFEE0).
+_WIDTH_FOLD = {cp: cp - 0xFEE0 for cp in range(0xFF01, 0xFF5F)}
+_WIDTH_FOLD[0x3000] = 0x20  # IDEOGRAPHIC SPACE -> SPACE
+
+# 2+ run of ASCII period / KATAKANA MIDDLE DOT (U+30FB), cf. ocr.py:153.
+_DOT_RUN = re.compile("[・.]{2,}")
+
+
+def fold_width(s: str) -> str:
+    """Fold full-width ASCII forms to their half-width equivalents."""
+    return s.translate(_WIDTH_FOLD)
+
+
+def normalize_block(s: str) -> str:
+    """Normalize one text block; deterministic and idempotent."""
+    s = unicodedata.normalize("NFC", s)
+    s = fold_width(s)
+    s = " ".join(s.split())
+    s = _DOT_RUN.sub("...", s)
+    s = s.replace("…", "...")
+    return s
+
+
+def join_blocks(blocks: list[str]) -> str:
+    """Join normalized block texts with newline, dropping empties."""
+    return "\n".join(b for b in blocks if b)
+
+
+def decode_html(payload: bytes | bytearray | None, max_bytes: int = 2_000_000) -> str:
+    """Decode an html payload to str; never raises.
+
+    - ``None``/empty -> "".
+    - Payloads larger than ``max_bytes`` are truncated first (the engine's
+      input-size cap — the analogue of the reference's per-render 30 s
+      timeout, renderer.py:233-239; wall-clock timeouts don't compose with
+      Arrow batches, size caps do. SURVEY.md §4 X7).
+    - Invalid UTF-8 decodes with U+FFFD replacement (bad-row tolerance,
+      run.py:207-212 analogue).
+    """
+    if not payload:
+        return ""
+    if len(payload) > max_bytes:
+        payload = payload[:max_bytes]
+    return bytes(payload).decode("utf-8", errors="replace")
