@@ -1,0 +1,256 @@
+"""The extraction job: Arrow-batched mapInPandas over the pages table,
+with salted repartition, per-bucket lineage commits, and resume.
+
+Dataflow (SURVEY.md §3.1 graft lifecycle):
+
+    read pages -> cheap Spark-side prefilter (html IS NOT NULL; X9 —
+    Catalyst pushes it into the scan) -> salted repartition on url hash
+    (X11) -> mapInPandas(extract) -> extracted + metrics + lineage
+
+Scale posture (designed for ~10^12 rows / 100 TB, tested at sandbox scale):
+
+- The *only* wide operation in the hot path is the salt repartition, and it
+  exists to break host skew; everything else is embarrassingly parallel
+  map work. Metrics/lineage aggregate FROM the extraction output (single
+  pass over the data — no second scan of the html column).
+- Column pruning matters: metrics-only readers never touch ``html``.
+- Bucketing: rows are assigned a stable ``bucket = pmod(xxhash64(url), B)``.
+  Buckets are the unit of commit and resume (lineage anti-join, X8/O5): a
+  restarted job recomputes only buckets without a committed lineage row.
+  On a real deployment B=2048 and the table is Iceberg-partitioned by
+  ``(days(warc_ts), bucket(url))``; here the extracted output is parquet
+  ``partitionBy(bucket)`` with identical layout semantics.
+- The pandas UDF uses the iterator form: per-python-worker init happens
+  once before the batch loop (the reference's load-model-once pattern,
+  ocr.py:59-79 / SURVEY.md §4 X1), then every Arrow batch reuses it.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("extracted_text", StringType()),
+        StructField("n_blocks_kept", IntegerType()),
+        StructField("n_blocks_dropped", IntegerType()),
+        StructField("lang", StringType()),
+        StructField("bytes_in", LongType()),
+        StructField("ok", IntegerType()),
+    ]
+)
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("partition_id", StringType()),
+        StructField("input_rows", LongType()),
+        StructField("output_rows", LongType()),
+        StructField("bytes_in", LongType()),
+        StructField("t_start", TimestampType()),
+        StructField("t_end", TimestampType()),
+        StructField("status", StringType()),
+        StructField("attempt", IntegerType()),
+    ]
+)
+
+
+def _utc_naive(epoch_s: float):
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(epoch_s, tz=dt.timezone.utc).replace(tzinfo=None, microsecond=0)
+
+
+def _extract_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. Iterator form: one-time init above the loop."""
+    # one-time per-python-worker init (X1). The extraction core is pure
+    # Python; importing it here (not at module top) keeps the task closure
+    # tiny and exercises the spark-submit --py-files layout.
+    from manga_ocr_spark.extraction.core import extract
+
+    for pdf in batches:
+        n = len(pdf)
+        texts: list[str | None] = [None] * n
+        kept = [0] * n
+        dropped = [0] * n
+        nbytes = [0] * n
+        ok = [0] * n
+        htmls = pdf["html"].to_numpy()
+        for i in range(n):
+            payload = htmls[i]
+            nbytes[i] = len(payload) if payload is not None else 0
+            res = extract(payload)
+            texts[i] = res.text
+            kept[i] = res.n_blocks_kept
+            dropped[i] = res.n_blocks_dropped
+            ok[i] = 1 if res.text is not None else 0
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "extracted_text": pd.Series(texts, index=pdf.index, dtype=object),
+                "n_blocks_kept": pd.Series(kept, index=pdf.index, dtype="int32"),
+                "n_blocks_dropped": pd.Series(dropped, index=pdf.index, dtype="int32"),
+                "lang": pdf["lang"],
+                "bytes_in": pd.Series(nbytes, index=pdf.index, dtype="int64"),
+                "ok": pd.Series(ok, index=pdf.index, dtype="int32"),
+            }
+        )
+
+
+def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Stable commit/resume bucket from the url hash (X4/X8)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets)).cast("int")
+    )
+
+
+def extract_pages(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """pages DF -> extracted DF (url, warc_ts, extracted_text, counters...).
+
+    ``salt_partitions``: when set, repartition on ``pmod(xxhash64(url), P)``
+    before the UDF so host-skewed inputs spread evenly over tasks (X11).
+    The hash is on the full url => uniform regardless of host skew.
+    """
+    df = df.filter(F.col("html").isNotNull())
+    if salt_partitions:
+        df = df.repartition(salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions)))
+    return df.mapInPandas(_extract_map, EXTRACTED_SCHEMA)
+
+
+@dataclass
+class ExtractJob:
+    """Checkpoint-resumable batch extraction over a pages parquet dir.
+
+    Layout under ``out_dir``:
+      extracted/  parquet, partitionBy(bucket) — final per-url text
+      metrics/    parquet — per (bucket, lang): blocks kept/dropped, counts
+      lineage/    parquet — one row per committed bucket (FIXTURES.md §3)
+
+    Buckets are committed in groups of ``commit_group_size``; a kill
+    between group commits loses at most the in-flight group, and a rerun
+    anti-joins against lineage to skip everything committed (the
+    reference's (path, mtime) seen-set semantics, run.py:197-206, made
+    restart-safe).
+    """
+
+    spark: SparkSession
+    out_dir: str
+    num_buckets: int = 16
+    commit_group_size: int = 8
+    salt_partitions: int | None = None
+
+    def committed_buckets(self) -> set[int]:
+        try:
+            rows = (
+                self.spark.read.parquet(f"{self.out_dir}/lineage")
+                .filter(F.col("status") == "ok")
+                .select("partition_id")
+                .distinct()
+                .collect()
+            )
+            return {int(r.partition_id.split("=", 1)[1]) for r in rows}
+        except Exception:
+            return set()
+
+    def run(self, pages: DataFrame, max_groups: int | None = None) -> list[int]:
+        """Extract all not-yet-committed buckets. Returns buckets committed
+        this run. ``max_groups`` caps commit groups (used by the resume test
+        to simulate a mid-run kill)."""
+        pages = with_bucket(pages, self.num_buckets)
+        done = self.committed_buckets()
+        todo = [b for b in range(self.num_buckets) if b not in done]
+        groups = [
+            todo[i : i + self.commit_group_size]
+            for i in range(0, len(todo), self.commit_group_size)
+        ]
+        if max_groups is not None:
+            groups = groups[:max_groups]
+        committed: list[int] = []
+        for group in groups:
+            t_start = time.time()
+            sub = pages.filter(F.col("bucket").isin(group))
+            ext = extract_pages(sub, salt_partitions=self.salt_partitions)
+            ext = with_bucket(ext, self.num_buckets)
+            # One pass over the extraction output feeds all three sinks.
+            # At sandbox scale a driver-side cache of the extracted rows
+            # would also work, but persist() keeps the plan identical to
+            # the cluster deployment.
+            ext.persist()
+            try:
+                (
+                    ext.drop("ok")
+                    .write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(f"{self.out_dir}/extracted")
+                )
+                (
+                    ext.groupBy("bucket", "lang")
+                    .agg(
+                        F.sum("n_blocks_kept").alias("blocks_kept"),
+                        F.sum("n_blocks_dropped").alias("blocks_dropped"),
+                        F.count("*").alias("count"),
+                    )
+                    .withColumn("partition_id", F.concat(F.lit("bucket="), F.col("bucket")))
+                    .drop("bucket")
+                    .write.mode("append")
+                    .parquet(f"{self.out_dir}/metrics")
+                )
+                stats = {
+                    int(r["bucket"]): r
+                    for r in ext.groupBy("bucket")
+                    .agg(
+                        F.count("*").alias("input_rows"),
+                        F.sum("ok").alias("output_rows"),
+                        F.sum("bytes_in").alias("bytes_in"),
+                    )
+                    .collect()
+                }
+            finally:
+                ext.unpersist()
+            t_end = time.time()
+            lineage_rows = [
+                (
+                    f"bucket={b}",
+                    int(stats[b]["input_rows"]) if b in stats else 0,
+                    int(stats[b]["output_rows"]) if b in stats else 0,
+                    int(stats[b]["bytes_in"]) if b in stats else 0,
+                    _utc_naive(t_start),
+                    _utc_naive(t_end),
+                    "ok",
+                    1,
+                )
+                for b in group
+            ]
+            # lineage commit is the *last* write of the group: its presence
+            # certifies the group's extracted+metrics rows are durable.
+            self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode(
+                "append"
+            ).parquet(f"{self.out_dir}/lineage")
+            committed.extend(group)
+        return committed

@@ -1,0 +1,57 @@
+"""SparkSession construction with the engine's tuned defaults.
+
+Every knob here is chosen for the 100 TB posture and merely *also* works at
+sandbox scale:
+
+- Arrow execution on (the whole engine is Arrow-batched pandas UDFs —
+  BASELINE.json ``input_hint``: "no per-row Python").
+- ``arrow.maxRecordsPerBatch`` small (256): html payloads are potentially
+  MB-sized, so batch memory = rows x payload size must stay bounded
+  (SURVEY.md §4 X2/X12). 256 rows x 2 MB cap = <=512 MB worst-case per
+  batch, typical far less.
+- AQE on incl. skew-join handling (host-skewed pages, X11).
+- ``files.maxPartitionBytes`` 128m: at 100 TB this yields ~800k input
+  splits — individually right-sized for executor memory.
+- shuffle partitions default to 4x cores locally; on a real cluster this is
+  overridden (or left to AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "manga-ocr-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] -> N usable cores; 1 partition per core for the
+        # map-heavy extraction profile (shuffles are rare and AQE coalesces)
+        n = cpus if "*" in master else int("".join(c for c in master if c.isdigit()) or cpus)
+        shuffle_partitions = max(8, n)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
