@@ -1,0 +1,92 @@
+"""Text-analysis operators over document tables: tokens, quality, lang-id,
+fingerprints.
+
+Everything here is a *pure column expression* built from
+``pyspark.sql.functions`` — it stays inside whole-stage codegen, shuffles
+nothing, and survives 100 TB trivially (per-row work, no state). The
+reference's analogues are its char-class predicates and normalization
+helpers (/root/reference/manga_ocr_dev/synthetic_data_generator/common/
+utils.py:60-151, manga_ocr/ocr.py:136-156).
+
+Float-returning expressions round to fixed precision so a DuckDB oracle
+computes bit-identical values (driver value-hash contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# a tiny fixed stopword list shared verbatim with the SQL oracles
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# marker words per language for the n-gram/marker lang-id heuristic;
+# deterministic and SQL-expressible on both engines.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (BPE-ish regex split on \\s+)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are stopwords — a quality-score component."""
+    toks = tokens(col)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.round(stop / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Share of alphanumeric characters — boilerplate/garbage signal."""
+    alnum = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
+    return F.round(alnum / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score (length/stopword/alpha mix) —
+    the relational analogue of the extraction scorer's keep decision."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_term + 0.3 * (1.0 - stopword_ratio(col)) + 0.3 * alpha_ratio(col), 6
+    )
+
+
+def marker_count(col: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language id: argmax over per-language marker counts,
+    'und' when all zero. Ties break by language-code order (deterministic —
+    same CASE ordering is used in the SQL oracle)."""
+    counts = {lang: marker_count(col, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the casefolded,
+    whitespace-collapsed text. Portable across engines (DuckDB md5 ==
+    Spark md5 on identical bytes), used for exact dedup."""
+    canon = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(F.encode(canon, "UTF-8"))
