@@ -19,9 +19,12 @@ Rules (applied per text block, in order):
    whitespace becomes one space, leading/trailing stripped. (Same operator
    family as ocr.py:152's ``"".join(text.split())``; we keep single spaces
    because web text is word-delimited.)
-4. Ellipsis canonicalization: runs of 2+ of [. or katakana middle dot]
-   become "...", then U+2026 HORIZONTAL ELLIPSIS becomes "..."
-   (same two rules and ordering as ocr.py:153-154).
+4. Ellipsis canonicalization: U+2026 HORIZONTAL ELLIPSIS becomes "...",
+   then runs of 2+ of [. or katakana middle dot] become "..." (same two
+   rules as ocr.py:153-154 but expand-then-collapse order, which makes the
+   whole normalizer idempotent — ".…" -> "...." -> "..." in ONE pass, so
+   re-normalizing any output is a no-op; idempotence is part of the
+   byte-stability contract and is pinned by tests).
 
 Blocks are joined with a single "\n" (decided semantics, SURVEY.md §7.4).
 """
@@ -49,8 +52,8 @@ def normalize_block(s: str) -> str:
     s = unicodedata.normalize("NFC", s)
     s = fold_width(s)
     s = " ".join(s.split())
-    s = _DOT_RUN.sub("...", s)
     s = s.replace("…", "...")
+    s = _DOT_RUN.sub("...", s)
     return s
 
 

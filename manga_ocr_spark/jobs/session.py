@@ -29,6 +29,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python workers are separate processes spawned by the JVM; they inherit
+    # the env, not the driver's sys.path. Exporting the package root on
+    # PYTHONPATH makes `import manga_ocr_spark` work inside mapInPandas
+    # regardless of the driver's cwd (on a cluster, spark-submit --py-files
+    # plays this role).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -1,0 +1,107 @@
+"""Unit tests of the DOM block parser (extraction/dom.py) — pure Python,
+no Spark. Mirrors the reference's component tests of generator internals
+(SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+from manga_ocr_spark.extraction.dom import parse_blocks
+
+
+def _texts(html: str) -> list[str]:
+    return [b.text.strip() for b in parse_blocks(html)]
+
+
+def test_single_paragraph_one_block() -> None:
+    blocks = parse_blocks("<html><body><p>hello world</p></body></html>")
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b.text.strip() == "hello world"
+    assert b.tag == "p"
+    assert b.text_len == len("helloworld")
+    assert b.link_text_len == 0
+    assert not b.in_boilerplate
+
+
+def test_inline_tags_do_not_split_blocks() -> None:
+    blocks = parse_blocks("<p>see <a href='/x'>here</a> now <b>bold</b></p>")
+    assert len(blocks) == 1
+    assert blocks[0].text.strip() == "see here now bold"
+    assert blocks[0].link_text_len == len("here")
+
+
+def test_block_tags_split() -> None:
+    assert _texts("<p>one</p><p>two</p><div>three</div>") == ["one", "two", "three"]
+
+
+def test_suppressed_subtrees_drop_entirely() -> None:
+    html = (
+        "<body><script>var x = 'never';</script><style>.c{}</style>"
+        "<p>kept</p><noscript>no</noscript><template>tmpl</template></body>"
+    )
+    assert _texts(html) == ["kept"]
+
+
+def test_ruby_rt_dropped_base_kept() -> None:
+    # decided semantics SURVEY.md §7.4: annotation text is not ground truth
+    blocks = parse_blocks("<p><ruby>漢字<rt>かんじ</rt></ruby>のみ</p>")
+    assert len(blocks) == 1
+    assert "かんじ" not in blocks[0].text
+    assert "漢字" in blocks[0].text
+
+
+def test_boilerplate_landmark_flag() -> None:
+    html = "<nav><ul><li><a href='/'>Home</a></li></ul></nav><p>content body</p>"
+    blocks = parse_blocks(html)
+    flags = {b.text.strip(): b.in_boilerplate for b in blocks}
+    assert flags["Home"] is True
+    assert flags["content body"] is False
+
+
+def test_nested_boilerplate_closes_correctly() -> None:
+    html = "<footer><div><p>legal</p></div></footer><p>after footer</p>"
+    blocks = parse_blocks(html)
+    by_text = {b.text.strip(): b for b in blocks}
+    assert by_text["legal"].in_boilerplate is True
+    assert by_text["after footer"].in_boilerplate is False
+
+
+def test_entity_decoding() -> None:
+    blocks = parse_blocks("<p>a&nbsp;b &amp; c &#x2026;</p>")
+    assert len(blocks) == 1
+    t = blocks[0].text
+    assert "&" in t and "…" in t and "\xa0" in t
+
+
+def test_soft_break_becomes_space() -> None:
+    blocks = parse_blocks("<p>line one<br>line two<br/>line three</p>")
+    assert len(blocks) == 1
+    assert blocks[0].text == "line one line two line three"
+
+
+def test_malformed_html_never_raises() -> None:
+    for hostile in (
+        "<div<><p>broken <b>page",
+        "<html><body></body></html>",
+        "<p>" + "x" * 50_000,
+        "\x00\x01<zz>�<p>tiny</p>",
+        "</p></div></body>",  # stray closers only
+        "",
+    ):
+        blocks = parse_blocks(hostile)  # must not raise
+        assert isinstance(blocks, list)
+
+
+def test_unclosed_document_flushes_trailing_text() -> None:
+    blocks = parse_blocks("<p>" + "x" * 100)
+    assert len(blocks) == 1
+    assert blocks[0].text_len == 100
+
+
+def test_depth_tracks_block_nesting() -> None:
+    blocks = parse_blocks("<div><div><p>deep</p></div></div>")
+    assert blocks[0].depth == 3  # div, div, p
+
+
+def test_block_ids_are_document_order() -> None:
+    blocks = parse_blocks("<p>a1 a2</p><p>b1 b2</p><p>c1 c2</p>")
+    assert [b.block_id for b in blocks] == [0, 1, 2]

@@ -1,0 +1,189 @@
+"""Unit tests of the training-data operators (dedup / similarity / text /
+multimodal) on tiny in-memory tables. The sf0.01 DuckDB oracle is the
+driver's gate; these pin semantics at the unit level."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from manga_ocr_spark.operators import dedup as D
+from manga_ocr_spark.operators import similarity as S
+from manga_ocr_spark.operators import text as T
+from manga_ocr_spark.operators.multimodal import FEATURE_DIM, media_features, media_meta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="The  quick brown fox jumps over the lazy dog "),  # ws/case dup of 1
+        Row(doc_id=3, text="a completely different document about spark engines"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        Row(doc_id=5, text=""),
+    ]
+    return spark.createDataFrame(rows)
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def test_exact_dedup_collapses_ws_case_variants(docs):
+    kept = sorted(r.doc_id for r in D.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]  # 2 collapsed into 1
+
+
+def test_exact_dup_groups(docs):
+    groups = {r.canonical_id: r.n_copies for r in D.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2
+    assert groups[3] == 1
+
+
+# -- minhash -----------------------------------------------------------------
+
+
+def test_minhash_identical_docs_share_all_bands(docs):
+    buckets = D.minhash_lsh_buckets(docs.filter(F.col("doc_id").isin(1, 2)))
+    per_band = (
+        buckets.groupBy("band", "band_key").agg(F.count("*").alias("n")).collect()
+    )
+    # canonicalized texts are equal -> identical signatures -> both docs in
+    # every band bucket
+    assert all(r.n == 2 for r in per_band)
+    assert len(per_band) == 4  # 4 bands
+
+
+def test_minhash_pairs_find_dup_not_unrelated(docs):
+    buckets = D.minhash_lsh_buckets(docs.filter(F.col("doc_id").isin(1, 2, 3)))
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_candidate_pairs(buckets).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# -- jaccard -----------------------------------------------------------------
+
+
+def test_jaccard_near_dup_above_unrelated(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs.filter("doc_id in (1,3,4)"), threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] if (1, 2) in pairs else True
+    assert pairs[(1, 4)] > pairs[(1, 3)]
+    assert pairs[(1, 4)] > 0.5  # one-word change over a 44-char text
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+def test_simhash_stability_and_similarity(docs):
+    out = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    out2 = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert out == out2  # deterministic
+    assert out[1] == out[2] or bin(out[1] ^ out[2]).count("1") <= 4  # ws variant ~ equal
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(out[1], out[4]) < hamming(out[1], out[3])
+    assert out[5] == 0  # empty text -> zero signature
+
+
+# -- similarity search ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0]),  # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        Row(vec_id=4, embedding=[0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_exact_ranking(vecs):
+    res = S.cosine_topk(vecs.filter("vec_id = 0"), vecs, k=4).orderBy("rank").collect()
+    assert [r.neighbor_id for r in res] == [1, 4, 2, 3]
+    assert res[0].cos == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert res[-1].cos == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_lsh_bucket_topk_high_recall_on_clustered_vectors(spark):
+    # two tight clusters; bucketed ANN must find same-cluster neighbors
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        rows.append(Row(vec_id=i, embedding=[base[0] + 0.01 * (i % 5), base[1] + 0.01 * ((i + 2) % 5), 0.5, -0.5]))
+    df = spark.createDataFrame(rows)
+    res = S.lsh_bucket_topk(df.filter("vec_id = 0"), df, k=3, dim=4, bits=4).collect()
+    assert res, "bucket must contain same-cluster candidates"
+    assert all(r.neighbor_id % 2 == 0 for r in res)  # same cluster only
+
+
+# -- text analysis ---------------------------------------------------------
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [Row(t="the cat and the dog"), Row(t="der Hund und die Katze liefen"), Row(t="")]
+    )
+    out = df.select(
+        T.token_count(F.col("t")).alias("n"),
+        T.stopword_ratio(F.col("t")).alias("sr"),
+        T.mean_token_len(F.col("t")).alias("mtl"),
+        T.alpha_ratio(F.col("t")).alias("ar"),
+        T.lang_id(F.col("t")).alias("lang"),
+        T.fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    en, de, empty = out
+    assert en.n == 5 and de.n == 6 and empty.n == 0
+    assert en.sr == pytest.approx(3 / 5)  # the, and, the
+    assert en.mtl == pytest.approx(15 / 5)
+    assert en.lang == "en" and de.lang == "de" and empty.lang == "und"
+    assert len(en.fp) == 32
+
+
+def test_fingerprint_ws_case_invariant(spark):
+    df = spark.createDataFrame([Row(a="Hello  World"), Row(a="hello world")])
+    fps = [r.fp for r in df.select(T.fingerprint(F.col("a")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_score_ordering(spark):
+    good = "The quick brown fox jumps over the lazy dog and keeps running through a field of tall grass. " * 3
+    junk = "@@@ ### !!! ***"
+    df = spark.createDataFrame([Row(t=good), Row(t=junk)])
+    scores = [r.q for r in df.select(T.quality_score(F.col("t")).alias("q")).collect()]
+    assert scores[0] > scores[1]
+
+
+# -- multimodal plumbing ---------------------------------------------------------
+
+
+def test_media_meta_and_features(spark):
+    rows = [
+        Row(media_id=1, payload=b"\x89PNG\r\n" + b"x" * 100),
+        Row(media_id=2, payload=b"\xff\xd8\xff" + b"y" * 50),
+        Row(media_id=3, payload=b"opaque"),
+        Row(media_id=4, payload=b""),
+    ]
+    df = spark.createDataFrame(rows)
+    meta = {r.media_id: r for r in media_meta(df).collect()}
+    assert meta[1].n_bytes == 106 and len(meta[1].content_md5) == 32
+
+    feats = {r.media_id: r for r in media_features(df).collect()}
+    assert feats[1].format == "png"
+    assert feats[2].format == "jpeg"
+    assert feats[3].format == "bin"
+    assert feats[4].format == "empty"
+    for r in feats.values():
+        assert len(r.feature) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+    # deterministic fake decode: stable across runs
+    again = {r.media_id: r for r in media_features(df).collect()}
+    assert all(feats[k].feature == again[k].feature for k in feats)

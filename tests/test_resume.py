@@ -1,0 +1,67 @@
+"""Checkpoint-resume tests of ExtractJob (jobs/extract.py).
+
+The reference's daemon keys seen work by (path, mtime) and skips it on the
+next poll (/root/reference/manga_ocr/run.py:197-206). ExtractJob makes that
+restart-safe: lineage rows name committed buckets; a rerun processes only
+the rest. A kill between commit groups loses at most the in-flight group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from manga_ocr_spark.jobs.extract import ExtractJob
+
+
+def test_full_run_commits_all_buckets(spark, pages_df, tmp_path):
+    job = ExtractJob(spark, str(tmp_path / "out"), num_buckets=8, commit_group_size=4)
+    committed = job.run(pages_df)
+    assert sorted(committed) == list(range(8))
+    lineage = spark.read.parquet(f"{tmp_path}/out/lineage")
+    assert lineage.filter(F.col("status") == "ok").count() == 8
+    extracted = spark.read.parquet(f"{tmp_path}/out/extracted")
+    assert extracted.count() == pages_df.count()
+    # no url appears twice
+    assert extracted.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_killed_run_resumes_without_duplicates(spark, pages_df, tmp_path):
+    out = str(tmp_path / "out")
+    job = ExtractJob(spark, out, num_buckets=8, commit_group_size=3)
+
+    # simulated kill: only the first commit group (3 buckets) lands
+    first = job.run(pages_df, max_groups=1)
+    assert len(first) == 3
+    partial = spark.read.parquet(f"{out}/extracted").count()
+    assert 0 < partial < pages_df.count()
+
+    # resume: a fresh job object (fresh process semantics) finishes the rest
+    job2 = ExtractJob(spark, out, num_buckets=8, commit_group_size=3)
+    second = job2.run(pages_df)
+    assert sorted(first + second) == list(range(8))
+    assert set(first).isdisjoint(second)
+
+    extracted = spark.read.parquet(f"{out}/extracted")
+    assert extracted.count() == pages_df.count()
+    assert extracted.groupBy("url").count().filter("count > 1").count() == 0
+
+    # a third run is a no-op (idempotent)
+    assert ExtractJob(spark, out, num_buckets=8).run(pages_df) == []
+    assert spark.read.parquet(f"{out}/extracted").count() == pages_df.count()
+
+
+def test_metrics_written_per_bucket_lang(spark, pages_df, tmp_path):
+    out = str(tmp_path / "out")
+    ExtractJob(spark, out, num_buckets=4, commit_group_size=4).run(pages_df)
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert set(metrics.columns) == {
+        "lang", "blocks_kept", "blocks_dropped", "count", "partition_id"
+    }
+    # metrics row-count totals match input
+    total = metrics.agg(F.sum("count")).collect()[0][0]
+    assert total == pages_df.count()
+    # lineage byte accounting matches the input payload sizes
+    lineage = spark.read.parquet(f"{out}/lineage")
+    bytes_total = lineage.agg(F.sum("bytes_in")).collect()[0][0]
+    expected = pages_df.select(F.sum(F.length("html"))).collect()[0][0]
+    assert bytes_total == expected

@@ -1,0 +1,48 @@
+"""Structured-Streaming ingestion tests (streaming/watch.py).
+
+The reference's directory-monitor daemon (run.py:189-214) processes new
+files exactly once across polls; the Spark file source's checkpointed
+seen-files log provides the same semantics durably.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from manga_ocr_spark.fixtures.pages import generate_pages
+from manga_ocr_spark.streaming.watch import run_stream
+
+
+def _write_batch(spark, pdf: pd.DataFrame, path: str) -> None:
+    spark.createDataFrame(pdf.drop(columns=["family"])).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_available_now_catchup_and_incremental(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_pages = generate_pages(42, seed=11)
+    first, second = all_pages.iloc[:21], all_pages.iloc[21:]
+
+    _write_batch(spark, first, indir)
+    q = run_stream(spark, indir, outdir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(f"{outdir}/extracted")
+    assert got1.count() == 21
+
+    # new files arrive; a second catch-up batch processes ONLY them
+    _write_batch(spark, second, indir)
+    q2 = run_stream(spark, indir, outdir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(f"{outdir}/extracted")
+    assert got2.count() == 42
+    # exactly-once: no url processed twice across the two runs
+    assert got2.groupBy("url").count().filter("count > 1").count() == 0
+
+    # restart with nothing new: no-op
+    q3 = run_stream(spark, indir, outdir, ckpt, available_now=True)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(f"{outdir}/extracted").count() == 42
