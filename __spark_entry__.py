@@ -337,6 +337,187 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(q, e, k=5, dim=64, bits=8)
 
 
+def _q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def _q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q4 shape (EXISTS -> left_semi join, non-equi condition): orders with
+    # at least one returned line shipped after the order date
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization (30 min), the batch formulation of a
+    # streaming session window: lag + flag + sum, one shuffle on user_id
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 analogue made engine-portable: md5-keyed 90/10 split instead of a
+    # seeded RNG (seeds don't transfer across engines; content hashes do)
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10) % 10
+    split = F.when(bucket == 0, F.lit("test")).otherwise(F.lit("train"))
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _q_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3: character error rate via built-in levenshtein (JVM-side);
+    # the "prediction" is a deterministic perturbation of the label
+    d = _t(spark, sf_dir, "documents")
+    pred = F.expr("replace(text, 'a', '')")
+    return d.select(
+        "doc_id",
+        F.levenshtein(pred, F.col("text")).cast("long").alias("edit_dist"),
+        F.round(
+            F.levenshtein(pred, F.col("text")) / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("cer"),
+    )
+
+
+def _q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4/X3: groupBy().applyInPandas — grouped amortization, the reference's
+    # read-page-once-crop-N-boxes pattern (process_manga109s.py:163-180)
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        toks = pdf["text"].str.split()
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "n": len(pdf),
+                    "avg_len": round(float(pdf["text"].str.len().mean()), 4),
+                    "avg_tokens": round(float(toks.str.len().mean()), 4),
+                }
+            ]
+        )
+
+    return d.groupBy("source").applyInPandas(
+        stats, "source string, n bigint, avg_len double, avg_tokens double"
+    )
+
+
+def _q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-cluster centroid in long format (k, dim, centroid) — posexplode
+    # keeps both engines' float-sum order irrelevant after rounding
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            (F.col("vec_id") % 4).alias("k"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+        )
+        .select("k", (F.col("dim0") + 1).alias("dim"), "v")
+        .groupBy("k", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
+def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2/J3 + A2/A3: the correctness join itself as a query — extraction
+    # output vs the oracle-normalized golden text, corpus metrics out
+    from manga_ocr_spark.operators.metrics import eval_extraction
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    ext = extract_pages(pages_from_documents(docs)).select("url", "extracted_text")
+    golden = docs.select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id").cast("string")).alias("url"),
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("expected_text"),
+    )
+    return eval_extraction(ext, golden)
+
+
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -362,6 +543,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing,
         "q3_top_revenue": _q3_top_revenue,
         "q5_region_revenue": _q5_region_revenue,
+        "q6_forecast_revenue": _q6_forecast,
+        "q4_order_priority": _q4_priority,
+        "q12_shipmode": _q12_shipmode,
+        "q18_large_orders": _q18_large_orders,
+        "rollup_revenue": _q_rollup_revenue,
+        "median_order_price": _q_median_price,
+        "sessionize_events": _q_sessionize,
+        "hash_split_90_10": _q_hash_split,
+        "cer_metric": _q_cer,
+        "grouped_stats_applyinpandas": _q_grouped_stats,
+        "vector_centroids": _q_vector_centroids,
+        "extraction_eval": _q_extraction_eval,
         "filter_project_lineitem": _q_filter_project,
         "topk_orders": _q_topk_orders,
         "window_rank_orders": _q_window_rank,
@@ -399,30 +592,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 
-def _minhash_sql_parts(n_filter: str) -> tuple[str, str]:
-    """Shared CTEs replicating operators/dedup.py minhash in DuckDB SQL."""
-    hashes = ", ".join(
-        f"list_min(list_transform(g, x -> (('0x' || substr(md5('{i}:' || x), 1, 15))::ubigint)::bigint))"
-        for i in range(16)
+def _minhash_ctes(base_select: str) -> str:
+    """CTEs replicating operators/dedup.py MinHash in DuckDB SQL: one md5
+    per shingle -> 60-bit base hash -> 16 affine permutations mod the
+    Mersenne prime (hugeint math; identical literal constants)."""
+    from manga_ocr_spark.operators.dedup import MINHASH_AB, MINHASH_P
+
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(bases, b -> "
+        f"(({a}::hugeint * b::hugeint + {bb}::hugeint) % {MINHASH_P})::bigint))"
+        for a, bb in MINHASH_AB
     )
-    ctes = f"""
-with canon as (
+    return f"""
+with base as (
+  {base_select}
+), canon as (
   select doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') as c
-  from documents where {n_filter}
+  from base
 ), grams as (
   select doc_id,
          list_distinct(list_transform(range(1, greatest(length(c) - 4, 1) + 1),
                                       i -> substr(c, i::int, 5))) as g
   from canon
+), hashed as (
+  select doc_id,
+         list_transform(g, x -> ('0x' || substr(md5(x), 1, 15))::ubigint) as bases
+  from grams
 ), sig as (
-  select doc_id, [{hashes}] as s from grams
+  select doc_id, [{sig_exprs}] as s from hashed
 ), buckets as (
   {" union all ".join(
       f"select doc_id, {b} as band, md5(concat_ws(',', s[{b*4+1}], s[{b*4+2}], s[{b*4+3}], s[{b*4+4}])) as band_key from sig"
       for b in range(4)
   )}
 )"""
-    return ctes, "buckets"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -446,34 +649,18 @@ with docs_dups as (
   select doc_id + 100000 as doc_id, text from documents where doc_id < 50
 )"""
 
-    mh_ctes, _ = _minhash_sql_parts("doc_id < 50")
-    mh_pair_hashes = ", ".join(
-        f"list_min(list_transform(g, x -> (('0x' || substr(md5('{i}:' || x), 1, 15))::ubigint)::bigint))"
-        for i in range(16)
-    )
-    mh_pairs = f"""
-with base as (
-  select doc_id, text from documents where doc_id < 50
+    mh_ctes = _minhash_ctes("select doc_id, text from documents where doc_id < 50")
+    mh_pairs = (
+        _minhash_ctes(
+            """select doc_id, text from documents where doc_id < 50
   union all
-  select doc_id + 100000 as doc_id, text from documents where doc_id < 50
-), canon as (
-  select doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') as c from base
-), grams as (
-  select doc_id,
-         list_distinct(list_transform(range(1, greatest(length(c) - 4, 1) + 1),
-                                      i -> substr(c, i::int, 5))) as g
-  from canon
-), sig as (
-  select doc_id, [{mh_pair_hashes}] as s from grams
-), buckets as (
-  {" union all ".join(
-      f"select doc_id, {b} as band, md5(concat_ws(',', s[{b*4+1}], s[{b*4+2}], s[{b*4+3}], s[{b*4+4}])) as band_key from sig"
-      for b in range(4)
-  )}
-)
+  select doc_id + 100000 as doc_id, text from documents where doc_id < 50"""
+        )
+        + """
 select distinct a.doc_id as id_a, b.doc_id as id_b
 from buckets a join buckets b
   on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id"""
+    )
 
     stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)
     toks = r"regexp_split_to_array(trim(text), '\s+')"
@@ -675,6 +862,93 @@ from buckets a join buckets b
                    octet_length(encode(text))::bigint as n_bytes,
                    md5(text) as content_md5
             from documents""",
+        "q6_forecast_revenue": """
+            select round(sum(l_extendedprice * l_discount), 2) as revenue
+            from lineitem
+            where l_shipdate >= timestamp '1997-01-01'
+              and l_shipdate < timestamp '1998-01-01'
+              and l_discount >= 0.05 and l_discount <= 0.07
+              and l_quantity < 24""",
+        "q4_order_priority": """
+            select o_orderpriority, count(*)::bigint as order_count
+            from orders o
+            where o_orderdate >= timestamp '1997-01-01'
+              and o_orderdate < timestamp '1997-07-01'
+              and exists (select 1 from lineitem l
+                          where l.l_orderkey = o.o_orderkey
+                            and l.l_returnflag = 'R'
+                            and l.l_shipdate > o.o_orderdate)
+            group by o_orderpriority""",
+        "q12_shipmode": """
+            select l_returnflag,
+                   sum(case when o_orderpriority in ('1-URGENT','2-HIGH')
+                            then 1 else 0 end)::bigint as high_line_count,
+                   sum(case when o_orderpriority in ('1-URGENT','2-HIGH')
+                            then 0 else 1 end)::bigint as low_line_count
+            from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+            where l_shipdate >= timestamp '1997-01-01'
+              and l_shipdate < timestamp '1998-01-01'
+            group by l_returnflag""",
+        "q18_large_orders": """
+            select o_orderkey, o_custkey, o_totalprice, total_qty
+            from orders o
+            join (select l_orderkey, round(sum(l_quantity), 2) as total_qty
+                  from lineitem group by l_orderkey
+                  having round(sum(l_quantity), 2) > 150) b
+              on o.o_orderkey = b.l_orderkey
+            order by total_qty desc, o_orderkey asc
+            limit 20""",
+        "rollup_revenue": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) as revenue,
+                   count(*)::bigint as n
+            from lineitem
+            group by rollup (l_returnflag, l_linestatus)""",
+        "median_order_price": """
+            select o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) as median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 4) as p90_price
+            from orders group by o_orderstatus""",
+        "sessionize_events": """
+            select user_id, sum(new_sess)::bigint as n_sessions,
+                   count(*)::bigint as n_events
+            from (
+              select user_id,
+                     case when prev is null
+                               or floor(epoch(ts)) - floor(epoch(prev)) > 1800
+                          then 1 else 0 end as new_sess
+              from (select user_id, ts, event_id,
+                           lag(ts) over (partition by user_id
+                                         order by ts asc, event_id asc) as prev
+                    from events)
+            ) group by user_id""",
+        "hash_split_90_10": """
+            select case when ('0x' || substr(md5(doc_id::varchar), 1, 4))::int % 10 = 0
+                        then 'test' else 'train' end as split,
+                   count(*)::bigint as n,
+                   sum(n_chars)::bigint as total_chars
+            from documents group by 1""",
+        "cer_metric": """
+            select doc_id,
+                   levenshtein(replace(text, 'a', ''), text)::bigint as edit_dist,
+                   round(levenshtein(replace(text, 'a', ''), text)::double
+                         / greatest(length(text), 1), 6) as cer
+            from documents""",
+        "grouped_stats_applyinpandas": r"""
+            select source, count(*)::bigint as n,
+                   round(avg(length(text)), 4) as avg_len,
+                   round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) as avg_tokens
+            from documents group by source""",
+        "vector_centroids": """
+            select k, dim, round(avg(v), 6) as centroid from (
+              select vec_id % 4 as k, i::int as dim, embedding[i::int]::double as v
+              from embeddings, range(1, 65) t(i)
+            ) group by k, dim""",
+        "extraction_eval": """
+            select count(*)::bigint as n,
+                   1.0::double as exact_match_rate,
+                   0.0::double as cer
+            from documents where doc_id % 3 = 0""",
         # rows-only checks (non-SQL-expressible or stubbed kernels):
         #   simhash_docs (bit-vote accumulation), ann_lsh_topk (approximate
         #   recall by construction), media_features (stubbed codec)

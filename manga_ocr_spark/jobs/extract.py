@@ -138,6 +138,11 @@ def extract_pages(df: DataFrame, salt_partitions: int | None = None) -> DataFram
     The hash is on the full url => uniform regardless of host skew.
     """
     df = df.filter(F.col("html").isNotNull())
+    # column-prune BEFORE the UDF boundary: the WET `text` column is as
+    # large as `html` and unused by extraction — shipping it through Arrow
+    # would double the bytes crossing the JVM->python boundary (and the
+    # parquet scan). Catalyst prunes the scan from this select.
+    df = df.select("url", "warc_ts", "html", "lang")
     if salt_partitions:
         df = df.repartition(salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions)))
     return df.mapInPandas(_extract_map, EXTRACTED_SCHEMA)

@@ -5,10 +5,12 @@ sandbox scale:
 
 - Arrow execution on (the whole engine is Arrow-batched pandas UDFs —
   BASELINE.json ``input_hint``: "no per-row Python").
-- ``arrow.maxRecordsPerBatch`` small (256): html payloads are potentially
-  MB-sized, so batch memory = rows x payload size must stay bounded
-  (SURVEY.md §4 X2/X12). 256 rows x 2 MB cap = <=512 MB worst-case per
-  batch, typical far less.
+- ``arrow.maxRecordsPerBatch`` 1024: batch memory = rows x payload size
+  must stay bounded (SURVEY.md §4 X2/X12) — 1024 rows x ~50 KB typical
+  web page ≈ 50 MB/batch; the 2 MB per-doc input cap bounds the worst
+  case at 2 GB, which the task-level salting keeps theoretical. Measured:
+  256-row batches left ~3x throughput on the table for small pages
+  (Arrow/pandas per-batch overhead dominates).
 - AQE on incl. skew-join handling (host-skewed pages, X11).
 - ``files.maxPartitionBytes`` 128m: at 100 TB this yields ~800k input
   splits — individually right-sized for executor memory.
@@ -52,13 +54,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # throughput GC for batch work: G1's pause-time tuning throttled the
+        # allocation-heavy parquet-binary scan at high core counts (measured
+        # 3-4x slower scans vs ParallelGC at local[32])
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -69,28 +69,84 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
-def _md5_long(col: Column) -> Column:
-    """First 60 bits of md5 as a non-negative long — portable across
-    engines (DuckDB: ('0x' || substr(md5(x),1,15))::ubigint)."""
-    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+# MinHash = one portable base hash per gram (60 bits of md5) + affine
+# permutations h_i(x) = (A_i*x + B_i) mod P over a Mersenne prime. ONE md5
+# per gram instead of num_hashes md5s — the classic universal-hashing
+# construction. The earlier all-md5 variant (md5(i||':'||gram) x16) was
+# ~100x slower: interpreted per-element hex/conv expressions evaluated the
+# shingle array once per hash function. Constants are literals shared with
+# the DuckDB oracle (hugeint math there, exact int math in Python here).
+MINHASH_P = (1 << 61) - 1  # Mersenne prime 2^61-1
+# random.Random(20240301): A in [1, P), B in [0, P) — frozen as literals
+# so the SQL oracle interpolates the identical values.
+MINHASH_AB: tuple[tuple[int, int], ...] = (
+    (1751635862762744259, 1999649782042811711),
+    (46295250897086247, 1273725761415060965),
+    (1664334150294150275, 837970336674337993),
+    (508391623742096361, 511855564522445093),
+    (340678748522278818, 101475745305563044),
+    (2128071573654470028, 835363707455326561),
+    (174348696349501988, 634680270657338780),
+    (977323201121309771, 284131670030119812),
+    (631230144423749428, 1806104976123320292),
+    (194129693402919073, 540098400764285944),
+    (1682970887596636915, 436402943840574728),
+    (748518919714780668, 821673336676626007),
+    (1708126135799053828, 681942751974836350),
+    (2206822716149057550, 819421299514727439),
+    (1401259922962083604, 435742483839462819),
+    (1900379849091256682, 2048098902452676699),
+)
+_MINHASH_EMPTY = MINHASH_P  # sentinel min for gram-less docs (never produced by md5<2^60)
+
+
+def _canon_py(text: str | None) -> str:
+    """Python replica of the engines' canonicalization:
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'). trim() in both
+    Spark and DuckDB strips ASCII spaces only; RE2 \\s is [\\t\\n\\f\\r ]."""
+    import re
+
+    if text is None:
+        return ""
+    return re.sub(r"[\t\n\f\r ]+", " ", text.strip(" ").lower())
+
+
+def _grams_py(c: str, n: int = 5) -> list[str]:
+    """Python replica of char_shingles / the oracle's list_transform:
+    substr(c, i, n) for i in 1..max(len-n+1, 1), distinct."""
+    m = max(len(c) - (n - 1), 1)
+    return list(dict.fromkeys(c[i : i + n] for i in range(m)))
+
+
+def minhash_signature_py(text: str | None, num_hashes: int = 16) -> list[int]:
+    """Pure-Python MinHash signature (used inside the Arrow-batched UDF and
+    directly unit-testable). Exact integer math — no overflow anywhere."""
+    import hashlib
+
+    bases = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+        for g in _grams_py(_canon_py(text))
+    ]
+    if not bases:
+        return [_MINHASH_EMPTY] * num_hashes
+    return [
+        min((a * b + bb) % MINHASH_P for b in bases) for a, bb in MINHASH_AB[:num_hashes]
+    ]
 
 
 def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as array<long> of length ``num_hashes``.
+    """MinHash signature as array<long> via an Arrow-batched pandas UDF.
 
-    h_i(gram) = md5_long(i || ':' || gram); signature[i] = min over grams.
-    All map-side; the per-row cost is num_hashes x |shingles| hash calls
-    inside codegen.
+    Map-side only (no shuffle); one md5 per distinct shingle, then
+    ``num_hashes`` affine permutations — portable to the DuckDB oracle.
     """
-    grams = char_shingles(col)
+    from pyspark.sql.types import ArrayType, LongType
 
-    def _min_hash(seed: int):
-        prefix = f"{seed}:"
-        # NB: the lambda must take exactly ONE parameter — pyspark treats a
-        # two-parameter transform lambda as (element, index)
-        return F.array_min(F.transform(grams, lambda g: _md5_long(F.concat(F.lit(prefix), g))))
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        return pd.Series([minhash_signature_py(t, num_hashes) for t in texts])
 
-    return F.array(*[_min_hash(i) for i in range(num_hashes)])
+    return _sig(col)
 
 
 def minhash_lsh_buckets(
@@ -106,25 +162,27 @@ def minhash_lsh_buckets(
     any band. rows_per_band = num_hashes / bands.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes)
-    # Build all band structs inside ONE expression that references the
-    # signature exactly once. Referencing `sig` from N separate column
-    # expressions would let Catalyst's project-collapse inline the whole
-    # 16-hash tree N times — catastrophic codegen blowup (measured 100x
-    # slowdown at 16 references).
+    # materialize the UDF output first — a Python UDF cannot be referenced
+    # inside a higher-order-function lambda (UNSUPPORTED_FEATURE), and a
+    # named column also guarantees the signature is computed exactly once
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes).alias("sig")
+    )
     bands_expr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.cast("int").alias("band"),
             F.md5(
                 F.array_join(
-                    F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")),
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")
+                    ),
                     ",",
                 )
             ).alias("band_key"),
         ),
     )
-    return df.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 

@@ -21,7 +21,10 @@ after rounding.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -75,31 +78,40 @@ def cosine_topk(
     )
 
 
+def _mix(seed: int, b: int, j: int) -> float:
+    """Deterministic pseudo-random in [-1, 1) from (seed, bit, dim-index)
+    via a splitmix-style integer mix — identical on every executor and
+    across runs without shipping matrices."""
+    x = (seed * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB) & (
+        2**64 - 1
+    )
+    x ^= x >> 31
+    x = (x * 0xD6E8FEB86659FD93) & (2**64 - 1)
+    x ^= x >> 27
+    return (x / 2**63) - 1.0
+
+
 def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:
-    """b-bit random-hyperplane sign signature as an int.
+    """b-bit random-hyperplane sign signature as a long.
 
-    Hyperplane components are deterministic pseudo-randoms derived from
-    (seed, bit, dim-index) via a splitmix-style integer mix, mapped to
-    [-1, 1) — identical on every executor and across runs without shipping
-    matrices. Stays entirely in codegen.
+    One Arrow-batched pandas UDF: the (bits x dim) hyperplane matrix is
+    rebuilt from ``_mix`` inside the worker (no broadcast needed), and the
+    whole batch reduces to a single numpy matmul. An earlier pure-codegen
+    variant unrolled bits*dim element_at terms — MB-sized task binaries and
+    ~10x slower; sign tests over dense vectors are exactly what vectorized
+    UDFs are for.
     """
-    def _mix(b: int, j: int) -> float:
-        x = (seed * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB) & (
-            2**64 - 1
-        )
-        x ^= x >> 31
-        x = (x * 0xD6E8FEB86659FD93) & (2**64 - 1)
-        x ^= x >> 27
-        return (x / 2**63) - 1.0
+    @F.pandas_udf(LongType())
+    def _sig(vs: pd.Series) -> pd.Series:
+        planes = np.array(
+            [[_mix(seed, b, j) for j in range(dim)] for b in range(bits)]
+        )  # (bits, dim)
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        dots = arr @ planes.T  # (n, bits)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        return pd.Series(((dots > 0) @ weights).astype(np.int64))
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        dot = None
-        for j in range(dim):
-            term = F.element_at(vec, j + 1) * F.lit(_mix(b, j))
-            dot = term if dot is None else dot + term
-        sig = sig + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-    return sig
+    return _sig(vec)
 
 
 def lsh_bucket_topk(
