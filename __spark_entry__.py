@@ -518,6 +518,33 @@ def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eval_extraction(ext, golden)
 
 
+def _q_xml_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S5: XML scan/explode — synthesize per-doc XML JVM-side (document
+    # texts verified free of &<>), parse+flatten in an Arrow-batched UDF
+    from manga_ocr_spark.sources.xml_annotations import explode_xml
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    xml = F.concat(
+        F.lit("<doc><title>doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><line>"),
+        F.col("text"),
+        F.lit("</line></doc>"),
+    )
+    return explode_xml(d.select("doc_id", xml.alias("xml")))
+
+
+def _q_package_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7/W1: zero-padded package-id synthesis (process_cc100.py:61 analogue)
+    d = _t(spark, sf_dir, "documents")
+    pkg = F.format_string("pkg%04d", F.floor(F.col("doc_id") / 100).cast("int"))
+    return d.groupBy(pkg.alias("package")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -555,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_stats_applyinpandas": _q_grouped_stats,
         "vector_centroids": _q_vector_centroids,
         "extraction_eval": _q_extraction_eval,
+        "xml_explode": _q_xml_explode,
+        "package_ids": _q_package_ids,
         "filter_project_lineitem": _q_filter_project,
         "topk_orders": _q_topk_orders,
         "window_rank_orders": _q_window_rank,
@@ -949,6 +978,18 @@ from buckets a join buckets b
                    1.0::double as exact_match_rate,
                    0.0::double as cer
             from documents where doc_id % 3 = 0""",
+        "xml_explode": """
+            select doc_id, 1 as seq, 'title' as tag,
+                   'doc-' || doc_id as content
+            from documents where doc_id < 200
+            union all
+            select doc_id, 2 as seq, 'line' as tag, trim(text) as content
+            from documents where doc_id < 200""",
+        "package_ids": """
+            select printf('pkg%04d', (doc_id // 100)::int) as package,
+                   count(*)::bigint as n_docs,
+                   min(doc_id) as min_id, max(doc_id) as max_id
+            from documents group by 1""",
         # rows-only checks (non-SQL-expressible or stubbed kernels):
         #   simhash_docs (bit-vote accumulation), ann_lsh_topk (approximate
         #   recall by construction), media_features (stubbed codec)

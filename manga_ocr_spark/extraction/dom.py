@@ -129,7 +129,9 @@ class Block:
 
 
 def _ws_free_len(s: str) -> int:
-    return sum(len(part) for part in s.split())
+    # equivalent to sum(len(p) for p in s.split()) but C-speed: total
+    # length minus the unicode-whitespace characters split() removes
+    return len("".join(s.split()))
 
 
 @dataclass

@@ -52,8 +52,10 @@ def normalize_block(s: str) -> str:
     s = unicodedata.normalize("NFC", s)
     s = fold_width(s)
     s = " ".join(s.split())
-    s = s.replace("…", "...")
-    s = _DOT_RUN.sub("...", s)
+    if "…" in s:
+        s = s.replace("…", "...")
+    if ".." in s or "・" in s:  # guard: the regex only fires on runs
+        s = _DOT_RUN.sub("...", s)
     return s
 
 

@@ -41,10 +41,10 @@ def score_blocks(blocks: list[Block]) -> list[Block]:
     out: list[Block] = []
     for b in blocks:
         b.text = normalize_block(b.text)
-        # lengths were computed whitespace-free by dom.py, so normalization
-        # (which only collapses whitespace / folds widths 1:1 / shortens dot
-        # runs) keeps text_len consistent enough; recompute exactly anyway:
-        b.text_len = sum(len(p) for p in b.text.split())
+        # recompute exactly on the normalized text: after normalize_block,
+        # the only whitespace left is single ASCII spaces, so ws-free length
+        # is len - count(' ') (identical to sum(len(p) for p in split()))
+        b.text_len = len(b.text) - b.text.count(" ")
         if b.text_len == 0:
             b.keep = False
             b.score = 0.0
