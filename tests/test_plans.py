@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the plan IS part of the contract at
+100 TB. These pin the optimizer behavior the engine relies on (SURVEY.md
+§4): broadcast joins for dimensions, predicate pushdown into scans, map-side
+partial aggregation, and a shuffle-free extraction map stage.
+
+Plans come from sf0.001 parquet (real scans, so PushedFilters appear)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    assert "BroadcastHashJoin" in _plan(E._q3_top_revenue(spark, SF_DIR))
+
+
+def test_q5_broadcasts_nation_region(spark):
+    plan = _plan(E._q5_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q1_pushes_shipdate_filter_into_scan(spark):
+    plan = _plan(E._q1_pricing(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_q1_uses_partial_aggregation(spark):
+    plan = _plan(E._q1_pricing(spark, SF_DIR))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q1_prunes_unused_columns(spark):
+    plan = _plan(E._q1_pricing(spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # not referenced by q1
+    assert "l_quantity" in read_schema
+
+
+def test_extraction_map_stage_is_shuffle_free(spark):
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as url",
+        "current_timestamp() as warc_ts",
+        "encode(text, 'UTF-8') as html",
+        "text",
+        "lang",
+    )
+    from manga_ocr_spark.jobs.extract import extract_pages
+
+    assert "Exchange" not in _plan(extract_pages(pages))  # pure map job
+    salted = _plan(extract_pages(pages, salt_partitions=8))
+    assert salted.count("Exchange") == 1  # exactly the salt repartition
+
+
+def test_extraction_prunes_wet_text_column(spark):
+    # the unused WET `text` column must not reach the UDF boundary
+    from manga_ocr_spark.jobs.extract import extract_pages
+    from manga_ocr_spark.jobs.pages_from_docs import pages_from_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _optimized(extract_pages(pages_from_documents(docs)))
+    map_line = [ln for ln in plan.splitlines() if "MapInPandas" in ln][0]
+    assert "url" in map_line and "html" in map_line
+    assert map_line.count("text") == 1  # only extracted_text output, no input text
+
+
+def test_exact_dedup_semi_join_broadcasts(spark):
+    from manga_ocr_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "LeftSemi" in plan
+    assert "partial_min" in plan  # dedup keys aggregated map-side
+
+
+def test_anti_join_resume_shape(spark):
+    plan = _plan(E._q_anti_join(spark, SF_DIR))
+    assert "LeftAnti" in plan
