@@ -76,7 +76,7 @@ def test_extraction_prunes_wet_text_column(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _optimized(extract_pages(pages_from_documents(docs)))
-    map_line = [ln for ln in plan.splitlines() if "MapInPandas" in ln][0]
+    map_line = [ln for ln in plan.splitlines() if "MapInArrow" in ln][0]
     assert "url" in map_line and "html" in map_line
     assert map_line.count("text") == 1  # only extracted_text output, no input text
 
