@@ -545,6 +545,80 @@ def _q_package_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join: for each event, the user's latest order at event time —
+    # single-shuffle union+carry-forward formulation (operators/joins.py)
+    from manga_ocr_spark.operators.joins import as_of_join
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000).select(
+        "user_id", "event_id", "ts"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return as_of_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+
+
+def _q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-phase salted aggregation: identical result to the plain groupBy,
+    # skew-proof shuffle profile (no reducer sees a hot key's full rows)
+    from manga_ocr_spark.operators.joins import salted_two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_two_phase_agg(li, "l_returnflag", ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+        F.col("n"),
+    )
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return D.cosine_neardup_pairs(d, threshold=0.35)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # connected components over a chain-shaped dup graph (diameter 2, so
+    # label propagation must actually iterate): i -- i+100000 -- i+200000
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+        )
+    )
+    return D.dup_clusters(pairs)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-stratum hash sampling (sampleBy made engine-portable): different
+    # keep-rates per lang keyed on md5(doc_id), aggregated for stability
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10) % 10
+    rate = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "de", 5)
+        .when(F.col("lang") == "fr", 8)
+        .otherwise(10)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -584,6 +658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_eval": _q_extraction_eval,
         "xml_explode": _q_xml_explode,
         "package_ids": _q_package_ids,
+        "asof_latest_order_per_event": _q_asof_join,
+        "skew_salted_agg": _q_skew_salted_agg,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "dedup_clusters": _q_dedup_clusters,
+        "stratified_sample": _q_stratified_sample,
         "filter_project_lineitem": _q_filter_project,
         "topk_orders": _q_topk_orders,
         "window_rank_orders": _q_window_rank,
@@ -990,6 +1069,52 @@ from buckets a join buckets b
                    count(*)::bigint as n_docs,
                    min(doc_id) as min_id, max(doc_id) as max_id
             from documents group by 1""",
+        "asof_latest_order_per_event": """
+            select user_id, event_id, ts, o_orderkey, o_totalprice from (
+              select e.user_id, e.event_id, e.ts, o.o_orderkey, o.o_totalprice,
+                     row_number() over (partition by e.event_id
+                                        order by o.o_orderdate desc nulls last,
+                                                 o.o_orderkey desc nulls last) as rk
+              from events e
+              left join orders o
+                on o.o_custkey = e.user_id and o.o_orderdate <= e.ts
+              where e.event_id < 3000
+            ) where rk = 1""",
+        "skew_salted_agg": """
+            select l_returnflag,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_price,
+                   count(*)::bigint as n
+            from lineitem group by l_returnflag""",
+        "emb_neardup_pairs": """
+            with v as (select vec_id, embedding::double[] as e
+                       from embeddings where vec_id < 200)
+            select id_a, id_b, cos from (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> a.e[i::int] * b.e[i::int]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i::int] * a.e[i::int])))
+                          * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i::int] * b.e[i::int])))),
+                       6) as cos
+              from v a join v b on a.vec_id < b.vec_id
+            ) where cos >= 0.35""",
+        "dedup_clusters": """
+            select doc_id, doc_id as cluster_id from documents where doc_id < 50
+            union all
+            select doc_id + 100000 as doc_id, doc_id as cluster_id
+            from documents where doc_id < 50
+            union all
+            select doc_id + 200000 as doc_id, doc_id as cluster_id
+            from documents where doc_id < 50""",
+        "stratified_sample": """
+            select lang, count(*)::bigint as n, sum(n_chars)::bigint as total_chars
+            from documents
+            where ('0x' || substr(md5(doc_id::varchar), 1, 4))::int % 10 <
+                  case when lang = 'en' then 2
+                       when lang = 'de' then 5
+                       when lang = 'fr' then 8
+                       else 10 end
+            group by lang""",
         # rows-only checks (non-SQL-expressible or stubbed kernels):
         #   simhash_docs (bit-vote accumulation), ann_lsh_topk (approximate
         #   recall by construction), media_features (stubbed codec)

@@ -237,6 +237,90 @@ def ngram_jaccard_pairs(
     )
 
 
+# -- embedding-cosine near-dup ---------------------------------------------
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (id_a < id_b).
+
+    Exact O(N^2) verification form — the refinement step. At 10^12 scale,
+    feed it candidate buckets from similarity.lsh_bucket_topk's hyperplane
+    signatures instead of the full cross join (same two-tier pattern as
+    MinHash -> Jaccard).
+    """
+    from manga_ocr_spark.operators.similarity import cosine
+
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# -- duplicate clustering (connected components) -----------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Candidate pairs (id_a, id_b) -> (doc_id, cluster_id) where
+    cluster_id = min doc id reachable through the pair graph.
+
+    Iterative min-label propagation (the simple form of large-star/
+    small-star): each round joins labels across edges and keeps the min;
+    stops at fixpoint. Rounds needed = graph diameter — for dedup graphs
+    (small dense clusters) that is 2-3, so the loop is a handful of
+    self-terminating Spark jobs, not a driver-side union-find (which
+    would need the whole edge set in one process — impossible at 10^12).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # -- SimHash ------------------------------------------------------------------
 
 

@@ -1,0 +1,102 @@
+"""Join operators Spark lacks as built-ins: as-of join, skew-safe
+two-phase aggregation.
+
+The reference has only lookup-shaped joins (SURVEY.md §2.3); these are the
+"custom operators" a web-scale pipeline needs beyond it, built as
+compositions of existing DataFrame ops (the preferred tier — no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (as-of / point-in-time join).
+
+    Scalable formulation: instead of the naive range join (equi-join +
+    filter + top-1 window, whose intermediate is |left_rows_per_key| x
+    |right_rows_per_key|), union both sides with a tag, sort each key's
+    timeline once, and carry the most recent right-side values forward
+    with ``last(ignorenulls)``. ONE shuffle (the window partitionBy);
+    intermediate size = |left| + |right|, never their product.
+
+    Determinism: right rows sort before left rows at equal ts (<=
+    semantics); if ``tiebreak`` is given, right rows tied on (key, ts)
+    are pre-reduced to the max-``tiebreak`` row.
+    """
+    if tiebreak is not None:
+        w0 = Window.partitionBy(key, right_ts).orderBy(F.desc(tiebreak))
+        right = (
+            right.withColumn("__rk", F.row_number().over(w0))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+
+    left_payload = [c for c in left.columns if c != key]
+    l_side = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_side = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c) for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("__t"), F.asc("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_side.unionByName(r_side).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols],
+    )
+    return carried.filter(F.col("__tag") == 1).select(
+        key,
+        *left_payload,
+        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+    )
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    key: str,
+    sum_cols: list[str],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """groupBy(key).sum(...) that survives heavily skewed keys.
+
+    Phase 1 aggregates on (key, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 combines the per-salt partials.
+    Identical result to the plain aggregation (sums/counts are
+    associative and commutative), different shuffle profile: no single
+    reducer ever materializes a hot key's full row set. AQE's skew
+    handling covers joins; this covers aggregations, where AQE cannot
+    split one group. Output: (key, sum_<c>..., n).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    phase1 = salted.groupBy(key, "__salt").agg(
+        *[F.sum(c).alias(f"__p_{c}") for c in sum_cols],
+        F.count("*").alias("__p_n"),
+    )
+    return phase1.groupBy(key).agg(
+        *[F.sum(f"__p_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("__p_n").alias("n"),
+    )

@@ -1,0 +1,94 @@
+"""Unit tests for as-of join and skew-safe aggregation (operators/joins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from manga_ocr_spark.operators.joins import as_of_join, salted_two_phase_agg
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_ts(10), name="ev10"), Row(k=1, ts=_ts(12), name="ev12")]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts(9), price=1.0),
+            Row(k=1, rts=_ts(10), price=2.0),  # equal ts counts (<=)
+            Row(k=1, rts=_ts(11), price=3.0),
+            Row(k=1, rts=_ts(13), price=9.0),  # after both left rows
+        ]
+    )
+    out = {
+        r.name: r.price
+        for r in as_of_join(left, right, "k", "ts", "rts", ["price"]).collect()
+    }
+    assert out == {"ev10": 2.0, "ev12": 3.0}
+
+
+def test_asof_no_match_yields_null(spark):
+    left = spark.createDataFrame([Row(k=1, ts=_ts(5), name="early")])
+    right = spark.createDataFrame([Row(k=1, rts=_ts(9), price=1.0)])
+    (r,) = as_of_join(left, right, "k", "ts", "rts", ["price"]).collect()
+    assert r.price is None
+
+
+def test_asof_keys_do_not_leak(spark):
+    left = spark.createDataFrame([Row(k=1, ts=_ts(10), name="a"), Row(k=2, ts=_ts(10), name="b")])
+    right = spark.createDataFrame([Row(k=1, rts=_ts(9), price=1.0)])
+    out = {r.name: r.price for r in as_of_join(left, right, "k", "ts", "rts", ["price"]).collect()}
+    assert out == {"a": 1.0, "b": None}
+
+
+def test_asof_tiebreak_prefers_max(spark):
+    left = spark.createDataFrame([Row(k=1, ts=_ts(10), name="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_ts(9), oid=7, price=1.0), Row(k=1, rts=_ts(9), oid=9, price=2.0)]
+    )
+    (r,) = as_of_join(left, right, "k", "ts", "rts", ["oid", "price"], tiebreak="oid").collect()
+    assert (r.oid, r.price) == (9, 2.0)
+
+
+def test_asof_intermediate_is_linear_not_quadratic(spark):
+    # the plan must contain NO join — union + window only
+    left = spark.createDataFrame([Row(k=1, ts=_ts(10), name="a")])
+    right = spark.createDataFrame([Row(k=1, rts=_ts(9), price=1.0)])
+    plan = as_of_join(left, right, "k", "ts", "rts", ["price"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(i), y=i % 3) for i in range(100)]
+        + [Row(g="b", x=1.5, y=2)]
+    )
+    salted = {
+        r.g: (round(r.sum_x, 6), r.sum_y, r.n)
+        for r in salted_two_phase_agg(df, "g", ["x", "y"], salt_buckets=8).collect()
+    }
+    plain = {
+        r.g: (round(r.sx, 6), r.sy, r.n)
+        for r in df.groupBy("g")
+        .agg(F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_dup_clusters_chain_propagates(spark):
+    from manga_ocr_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),  # chain diam 3
+         Row(id_a=10, id_b=11)]
+    )
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
