@@ -301,6 +301,33 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _q_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("q", T.quality_score(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_good"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.regex_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def _q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_hash(F.col("text")).alias("head_hash"))
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return D.minhash_lsh_buckets(d)
@@ -687,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
+        "quality_composite": _q_quality_composite,
+        "regex_token_stats": _q_regex_tokens,
+        "rolling_hash_fp": _q_rolling_hash,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprint,
         # multimodal plumbing
@@ -964,6 +994,36 @@ from buckets a join buckets b
                          / greatest(length(text), 1), 6) as alpha_ratio
             from documents""",
         "lang_id": f"select doc_id, {lang_case} as lang_pred from documents",
+        "quality_composite": f"""
+            with q as (
+              select lang,
+                     round(0.4 * least(length(text) / 500.0, 1.0)
+                         + 0.3 * (1.0 - round(len(list_filter({toks}, t -> t in ({stop_list})))::double
+                                              / greatest(len({toks}), 1), 6))
+                         + 0.3 * round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::double
+                                       / greatest(length(text), 1), 6),
+                           6) as qv
+              from documents
+            )
+            select lang, round(avg(qv), 4) as avg_quality,
+                   count(case when qv >= 0.5 then 1 end)::bigint as n_good,
+                   count(*)::bigint as n
+            from q group by lang""",
+        "regex_token_stats": rf"""
+            select doc_id,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]'))::bigint as n_bpe_tokens,
+                   (case when length(trim(text)) = 0 then 0
+                         else len({toks}) end)::bigint as n_ws_tokens
+            from documents""",
+        "rolling_hash_fp": """
+            with h as (select doc_id, substr(text, 1, 64) as s from documents)
+            select doc_id,
+                   list_reduce(
+                     list_prepend(0::bigint,
+                       list_transform(range(1, length(s) + 1),
+                                      i -> ord(substr(s, i::int, 1))::bigint)),
+                     (a, b) -> (a * 257 + b) % 1000000007) as head_hash
+            from h""",
         "doc_fingerprints": f"select doc_id, {_FP_SQL} as fingerprint from documents",
         "media_meta": """
             select doc_id as media_id,

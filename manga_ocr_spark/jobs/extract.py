@@ -174,6 +174,10 @@ class ExtractJob:
     num_buckets: int = 16
     commit_group_size: int = 8
     salt_partitions: int | None = None
+    # Iceberg-style layout (days(warc_ts), bucket(url)) from the north
+    # rule: time pruning for incremental readers + stable url buckets for
+    # resume. Off by default at sandbox scale (file-count explosion).
+    partition_by_day: bool = False
 
     def committed_buckets(self) -> set[int]:
         try:
@@ -213,10 +217,15 @@ class ExtractJob:
             # the cluster deployment.
             ext.persist()
             try:
+                out = ext.drop("ok")
+                if self.partition_by_day:
+                    out = out.withColumn("dt", F.to_date("warc_ts"))
+                    part_cols = ["dt", "bucket"]
+                else:
+                    part_cols = ["bucket"]
                 (
-                    ext.drop("ok")
-                    .write.mode("append")
-                    .partitionBy("bucket")
+                    out.write.mode("append")
+                    .partitionBy(*part_cols)
                     .parquet(f"{self.out_dir}/extracted")
                 )
                 (

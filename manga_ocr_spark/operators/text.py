@@ -84,6 +84,38 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def regex_tokens(col: Column) -> Column:
+    """BPE-ish tokenization: word runs OR single non-word-non-space chars —
+    the pre-tokenization split most BPE vocabularies assume. Pure regex,
+    stays in codegen."""
+    return F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), F.lit(0))
+
+
+def regex_token_count(col: Column) -> Column:
+    return F.size(regex_tokens(col))
+
+
+ROLLING_B = 257
+ROLLING_M = 1_000_000_007
+
+
+def rolling_hash(col: Column, prefix_chars: int = 64) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) of the first ``prefix_chars``
+    characters: h = fold(h*B + code) mod M. Engine-portable integer math
+    (same literals in the DuckDB oracle via list_reduce), ASCII-safe via
+    per-char codepoints. A prefix hash is the classic cheap document
+    fingerprint for clustering near-identical heads."""
+    chars = F.split(F.substring(col, 1, prefix_chars), "")
+    # split('abc','') yields ['a','b','c']; guard the empty-string tail some
+    # engines add by filtering zero-length elements
+    chars = F.filter(chars, lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_B + F.ascii(c)) % ROLLING_M,
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the casefolded,
     whitespace-collapsed text. Portable across engines (DuckDB md5 ==

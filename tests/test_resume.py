@@ -65,3 +65,22 @@ def test_metrics_written_per_bucket_lang(spark, pages_df, tmp_path):
     bytes_total = lineage.agg(F.sum("bytes_in")).collect()[0][0]
     expected = pages_df.select(F.sum(F.length("html"))).collect()[0][0]
     assert bytes_total == expected
+
+
+def test_day_bucket_partition_layout(spark, pages_df, tmp_path):
+    # north-rule layout: (days(warc_ts), bucket(url)) — time pruning for
+    # incremental readers, stable buckets for resume
+    import glob
+
+    out = str(tmp_path / "out")
+    ExtractJob(
+        spark, out, num_buckets=4, commit_group_size=4, partition_by_day=True
+    ).run(pages_df)
+    dirs = glob.glob(f"{out}/extracted/dt=*/bucket=*")
+    assert dirs, "expected dt=*/bucket=* partition directories"
+    ext = spark.read.parquet(f"{out}/extracted")
+    assert ext.count() == pages_df.count()
+    # partition pruning: a single-day read scans only that day's directory
+    one_day = spark.read.parquet(f"{out}/extracted").filter("dt = '2024-03-01'")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan

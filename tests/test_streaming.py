@@ -46,3 +46,45 @@ def test_available_now_catchup_and_incremental(spark, tmp_path):
     q3 = run_stream(spark, indir, outdir, ckpt, available_now=True)
     q3.awaitTermination(120)
     assert spark.read.parquet(f"{outdir}/extracted").count() == 42
+
+
+def test_stateful_host_counters_accumulate_across_restarts(spark, tmp_path):
+    # applyInPandasWithState: per-host running counters survive a restart
+    # via the checkpoint (the daemon's in-memory state made durable)
+    import datetime as dt
+
+    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
+    from manga_ocr_spark.streaming.stateful import run_host_stats
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 3, 1)
+
+    def rows(host: str, n: int, size: int):
+        return [
+            (f"https://{host}/p{i}", ts, b"x" * size, "t", "en") for i in range(n)
+        ]
+
+    spark.createDataFrame(rows("a.com", 3, 10) + rows("b.com", 1, 7), PAGES_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(indir)
+    outdir = str(tmp_path / "stats")
+    q = run_host_stats(spark, indir, ckpt, outdir)
+    q.awaitTermination(120)
+
+    def latest(d):
+        import pyspark.sql.functions as F
+
+        rows_ = spark.read.parquet(d).groupBy("host").agg(
+            F.max("n_pages").alias("n"), F.max("total_bytes").alias("b")
+        ).collect()
+        return {r.host: (r.n, r.b) for r in rows_}
+
+    assert latest(outdir) == {"a.com": (3, 30), "b.com": (1, 7)}
+
+    # second batch of files, fresh query on the SAME checkpoint: counters continue
+    spark.createDataFrame(rows("a.com", 2, 10), PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    q2 = run_host_stats(spark, indir, ckpt, outdir)
+    q2.awaitTermination(120)
+    assert latest(outdir)["a.com"] == (5, 50)  # 3+2 pages, 30+20 bytes
