@@ -105,3 +105,42 @@ def test_depth_tracks_block_nesting() -> None:
 def test_block_ids_are_document_order() -> None:
     blocks = parse_blocks("<p>a1 a2</p><p>b1 b2</p><p>c1 c2</p>")
     assert [b.block_id for b in blocks] == [0, 1, 2]
+
+
+def test_fast_scanner_matches_stdlib_parser_on_corpus():
+    # the fast regex scanner must stay byte-identical to the html.parser
+    # fallback path — goldens depend on parse semantics
+    from manga_ocr_spark.extraction import dom as D
+    from manga_ocr_spark.extraction.normalize import decode_html
+    from manga_ocr_spark.fixtures.pages import generate_pages
+
+    def via_std(t: str):
+        p = D._BlockParser()
+        try:
+            p.feed(t)
+            p.close()
+        except Exception:
+            p._flush()
+        return p.blocks
+
+    pages = generate_pages(210, seed=99)
+    for r in pages.itertuples(index=False):
+        t = decode_html(r.html)
+        fast = [(b.tag, b.text, b.link_text_len, b.in_boilerplate) for b in D.parse_blocks(t)]
+        std = [(b.tag, b.text, b.link_text_len, b.in_boilerplate) for b in via_std(t)]
+        assert fast == std, r.url
+
+
+def test_fast_scanner_rawtext_and_quoted_attrs():
+    from manga_ocr_spark.extraction.dom import parse_blocks
+
+    cases = [
+        ("<script>if (a<b && c>d) x('</div>')</script><p>kept here ok</p>", ["kept here ok"]),
+        ("<style>a>b{}</style><p>styled kept</p>", ["styled kept"]),
+        ('<p>see <a href="x>y">link</a> end</p>', ["see link end"]),
+        ("<script>never closed <p>gone", []),
+        ("<!-- <p>no</p> --><p>yes kept</p>", ["yes kept"]),
+    ]
+    for html, expected in cases:
+        got = [b.text.strip() for b in parse_blocks(html)]
+        assert got == expected, html
