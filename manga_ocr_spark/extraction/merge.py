@@ -36,6 +36,17 @@ def beam_merge(blocks: list[Block]) -> list[Block]:
     kept = [b for b in blocks if b.keep]
     if not kept:
         return []
+    # Fast path (provably identical result): kept blocks always carry
+    # score > 0 (score.py sets score = text_len*(1-ld) and keep implies
+    # text_len > 0), so when no gap between consecutive kept blocks
+    # exceeds 1 there are no penalties anywhere and taking ALL kept
+    # blocks strictly dominates every proper subset — exactly what the
+    # beam would return. This is the common article shape; the full beam
+    # only runs for pages with stranded fragments.
+    if all(
+        kept[i].block_id - kept[i - 1].block_id <= 2 for i in range(1, len(kept))
+    ) and all(b.score > 0 for b in kept):
+        return kept
     # beams: list of (total_score, chosen_ids_tuple, last_block_id)
     beams: list[tuple[float, tuple[int, ...], int]] = [(0.0, (), -1)]
     for b in kept:

@@ -68,3 +68,38 @@ def test_result_in_document_order() -> None:
     # input order scrambled; output follows kept-list order of input ids
     out = beam_merge(sorted(blocks, key=lambda b: b.block_id))
     assert [b.block_id for b in out] == [0, 1, 2]
+
+
+def test_fast_path_equals_full_beam_on_random_configs() -> None:
+    # property: the adjacency fast path must return exactly what the full
+    # beam returns — checked by forcing the slow path via a sentinel
+    import random
+
+    from manga_ocr_spark.extraction import merge as M
+
+    rng = random.Random(1234)
+    for trial in range(300):
+        n = rng.randint(1, 12)
+        blocks = []
+        for i in range(n):
+            keep = rng.random() < 0.6
+            score = rng.uniform(3, 60) if keep else -rng.uniform(3, 60)
+            blocks.append(_blk(i, score, keep=keep))
+        got = M.beam_merge(blocks)
+        # reference algorithm: brute-force best subsequence for small n
+        kept = [b for b in blocks if b.keep]
+        best, best_ids = 0.0, ()
+        for mask in range(1 << len(kept)):
+            ids, total, last = [], 0.0, -1
+            for j, b in enumerate(kept):
+                if mask >> j & 1:
+                    add = b.score if last < 0 else b.score - M.GAP_PENALTY * max(
+                        0, b.block_id - last - 2
+                    )
+                    total += add
+                    ids.append(b.block_id)
+                    last = b.block_id
+            if total > best or (total == best and tuple(ids) < best_ids and ids):
+                best, best_ids = total, tuple(ids)
+        got_ids = tuple(b.block_id for b in got)
+        assert got_ids == best_ids, (trial, got_ids, best_ids, [(b.block_id, b.keep, round(b.score,1)) for b in blocks])

@@ -89,3 +89,74 @@ def test_streaming_watermark_dedup(spark, tmp_path):
     got = spark.read.parquet(outdir)
     assert got.count() == 2
     assert got.filter(F.col("url") == "https://x/dup").count() == 1
+
+
+def test_csv_source_roundtrip_with_schema(spark, tmp_path):
+    # S6: CSV metadata tables (the reference's lines/fonts/meta CSVs) —
+    # explicit schema, header, round-trip fidelity
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"source": ["cc-100", "cc-100"], "id": ["cc-100_1", "cc-100_2"],
+         "line": ["first line, with comma", 'second "quoted" line']}
+    )
+    path = str(tmp_path / "lines_csv")
+    spark.createDataFrame(pdf).write.option("header", True).csv(path)
+    back = (
+        spark.read.schema("source string, id string, line string")
+        .option("header", True)
+        .csv(path)
+    )
+    got = {r.id: r.line for r in back.collect()}
+    assert got == {"cc-100_1": "first line, with comma", "cc-100_2": 'second "quoted" line'}
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    # K4 in another columnar format: same table through ORC
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    path = str(tmp_path / "orc")
+    df.write.orc(path)
+    assert spark.read.orc(path).selectExpr("sum(v)").collect()[0][0] == 9900
+
+
+def test_daemon_mode_processing_time_trigger(spark, tmp_path):
+    # T1: the daemon loop (run.py:166-214) — a processingTime trigger
+    # processes files as they arrive while the query stays up
+    import time
+
+    import pandas as pd
+
+    from manga_ocr_spark.fixtures.pages import generate_pages
+    from manga_ocr_spark.streaming.watch import run_stream
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    first = generate_pages(14, seed=3)
+    spark.createDataFrame(first.drop(columns=["family"])).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    q = run_stream(
+        spark, indir, outdir, ckpt, available_now=False, processing_time="1 seconds"
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(f"{outdir}/extracted").count() == 14:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert spark.read.parquet(f"{outdir}/extracted").count() == 14
+        # drop more files in while the daemon runs
+        second = generate_pages(28, seed=4).iloc[14:]
+        spark.createDataFrame(second.drop(columns=["family"])).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.read.parquet(f"{outdir}/extracted").count() == 28:
+                break
+            time.sleep(1)
+        assert spark.read.parquet(f"{outdir}/extracted").count() == 28
+    finally:
+        q.stop()
