@@ -17,13 +17,19 @@ Layers
   ``post_process`` a free-standing testable function.
 - ``fixtures/``  — deterministic synthetic pages + golden generation
   (analogue of tests/generate_expected_results.py in the reference).
-- ``jobs/``      — the Spark job: Arrow-batched ``mapInPandas`` extraction,
-  salted repartition, per-bucket lineage commit + resume, metrics.
+- ``jobs/``      — the Spark job: Arrow-batched ``mapInArrow`` extraction,
+  salted repartition, per-bucket lineage commit + resume, metrics,
+  spark-submit entrypoint (``run_extract.py``).
 - ``operators/`` — large-scale training-data-pipeline operators: dedup
-  (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
-  text analysis (lang-id, quality, tokens, fingerprints), multimodal
-  binary-payload plumbing.
-- ``streaming/`` — Structured Streaming ingestion of new page files.
+  (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine /
+  connected-components clustering), similarity search (cosine top-k,
+  hyperplane-LSH ANN), text analysis (lang-id, quality, tokens,
+  fingerprints, rolling hash), eval metrics (exact-match, CER), as-of
+  join, skew-safe aggregation, multimodal binary-payload plumbing.
+- ``sources/``   — XML annotation exploder and other format adapters.
+- ``streaming/`` — Structured Streaming ingestion (availableNow catch-up
+  and daemon mode) + stateful per-host counters
+  (``applyInPandasWithState``).
 
 Everything is built on public PySpark APIs only.
 """
