@@ -364,6 +364,14 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(q, e, k=5, dim=64, bits=8)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF scale path: k-means coarse cells (deterministic Lloyd) + probed
+    # exact re-rank. Approximate by construction -> rows-only check.
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(q, e, k=5, n_centroids=16, n_probe=4)
+
+
 def _q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -711,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,

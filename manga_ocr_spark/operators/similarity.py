@@ -114,6 +114,111 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     return _sig(vec)
 
 
+def _centroid_assign_udf(centroids: list[list[float]], n_probe: int = 1):
+    """pandas UDF: vec -> n_probe nearest centroid ids (by cosine).
+
+    The centroid matrix ships in the task closure (n_centroids x dim
+    floats — KBs, not worth a broadcast variable); each Arrow batch is one
+    numpy matmul."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _assign(vs: pd.Series) -> pd.Series:
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        arr = arr / np.maximum(np.linalg.norm(arr, axis=1, keepdims=True), 1e-12)
+        sims = arr @ Cn.T  # (n, n_centroids)
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _assign
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+
+    Init: the min-id vector of each xxhash64(id) % n_centroids residue
+    class (seedless, reproducible). Each iteration is ONE distributed job:
+    assign via a numpy-matmul pandas UDF, recompute centroids with
+    posexplode + avg (JVM-side). Centroids (n_centroids x dim floats) are
+    collected to the driver between iterations — KBs, independent of
+    corpus size; this is how IVF training distributes at 10^12 rows.
+    Empty cells keep their previous centroid.
+    """
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    init = (
+        v.withColumn("res", F.pmod(F.xxhash64("id"), F.lit(n_centroids)))
+        .withColumn("pick", F.min("id").over(Window.partitionBy("res")))
+        .filter(F.col("id") == F.col("pick"))
+        .select("res", "v")
+        .collect()
+    )
+    centroids: dict[int, list[float]] = {int(r.res): list(r.v) for r in init}
+    cent_list = [centroids[i] for i in sorted(centroids)]
+    idx_of = sorted(centroids)
+    for _ in range(iters):
+        assign = _centroid_assign_udf(cent_list, n_probe=1)
+        assigned = v.withColumn("cell", F.element_at(assign(F.col("v")), 1))
+        new = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.transform("dm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        updated = {int(r.cell): list(r.c) for r in new}
+        cent_list = [updated.get(i, cent_list[i]) for i in range(len(cent_list))]
+        idx_of = list(range(len(cent_list)))
+    return cent_list
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into cells,
+    probe each query's ``n_probe`` nearest cells, exact-cosine re-rank
+    inside them. The scale path beyond hyperplane LSH: cell sizes adapt
+    to the data distribution (k-means), and recall/cost trades via
+    ``n_probe``. Only shuffles: the cell-key join and the per-query
+    top-k window — the corpus cross join never exists.
+    """
+    centroids = train_ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    one = _centroid_assign_udf(centroids, n_probe=1)
+    many = _centroid_assign_udf(centroids, n_probe=n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cell", F.element_at(one(F.col("cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(many(F.col("qv"))))
+    pairs = c.join(F.broadcast(q), ["cell"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -26,8 +26,13 @@ def test_every_query_has_known_oracle_status():
     oracles = set(entrymod.oracle_sql())
     # every oracle key refers to a real query
     assert oracles <= qs
-    # rows-only queries are the documented non-SQL-expressible trio
-    assert qs - oracles == {"simhash_docs", "ann_lsh_topk", "media_features"}
+    # rows-only queries are the documented non-SQL-expressible set
+    assert qs - oracles == {
+        "simhash_docs",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "media_features",
+    }
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")

@@ -187,3 +187,29 @@ def test_media_meta_and_features(spark):
     # deterministic fake decode: stable across runs
     again = {r.media_id: r for r in media_features(df).collect()}
     assert all(feats[k].feature == again[k].feature for k in feats)
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    # two tight clusters: IVF cells must separate them; probed exact
+    # re-rank returns same-cluster neighbors with high recall
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append(
+            Row(vec_id=i, embedding=[base[j] + 0.01 * ((i + j) % 5) for j in range(4)])
+        )
+    df = spark.createDataFrame(rows)
+    res = S.ivf_topk(
+        df.filter(F.col("vec_id") < 2), df, k=3, n_centroids=4, n_probe=1, iters=2
+    ).collect()
+    assert res
+    for r in res:
+        assert r.neighbor_id % 2 == r.query_id % 2  # same cluster only
+    # deterministic across runs
+    res2 = S.ivf_topk(
+        df.filter(F.col("vec_id") < 2), df, k=3, n_centroids=4, n_probe=1, iters=2
+    ).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
