@@ -93,3 +93,28 @@ def test_exact_dedup_semi_join_broadcasts(spark):
 def test_anti_join_resume_shape(spark):
     plan = _plan(E._q_anti_join(spark, SF_DIR))
     assert "LeftAnti" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    # X4 at its strongest: pre-bucketed tables co-locate join keys at
+    # write time — the join plan has NO Exchange (at 100 TB this is the
+    # difference between a free join and shuffling the fact table)
+    import uuid
+
+    a_name = f"t_a_{uuid.uuid4().hex[:8]}"
+    b_name = f"t_b_{uuid.uuid4().hex[:8]}"
+    a = spark.range(10_000).selectExpr("id as k", "id * 2 as va")
+    b = spark.range(10_000).selectExpr("id as k", "id * 3 as vb")
+    a.write.bucketBy(8, "k").sortBy("k").saveAsTable(a_name)
+    b.write.bucketBy(8, "k").sortBy("k").saveAsTable(b_name)
+    try:
+        # hint forces a sort-merge join (the tables are small enough that
+        # broadcast would otherwise win and hide the bucketing)
+        j = spark.table(a_name).hint("merge").join(spark.table(b_name), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert j.count() == 10_000
+    finally:
+        spark.sql(f"drop table if exists {a_name}")
+        spark.sql(f"drop table if exists {b_name}")
