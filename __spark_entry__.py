@@ -352,6 +352,35 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(d)
 
 
+def _q_neardedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash LSH candidates -> exact Jaccard
+    verification (>=0.9) -> connected-components clustering -> keep the
+    min-id canonical of each cluster. The two-tier candidate/verify shape
+    is what makes 10^12-doc dedup feasible; composed here from the
+    individually-oracle-checked operators. Runs against the documents
+    table's NATURAL planted near-dups (25 pairs at jaccard 0.93-0.99);
+    the oracle recomputes the answer with full O(N^2) pairwise jaccard +
+    a recursive-CTE connected components — so this also verifies the LSH
+    tier finds every >=0.9 pair on this data."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_candidate_pairs(D.minhash_lsh_buckets(d))
+    g = d.select(F.col("doc_id"), D.char_shingles(F.col("text")).alias("grams"))
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jac", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jac") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    clusters = D.dup_clusters(verified)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return d.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
@@ -715,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_buckets": _q_minhash,
         "minhash_candidate_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_jaccard,
+        "neardedup_pipeline_keep": _q_neardedup_pipeline,
         "simhash_docs": _q_simhash,
         # similarity search
         "cosine_topk": _q_cosine_topk,
@@ -953,6 +983,37 @@ from buckets a join buckets b
             )""",
         "minhash_lsh_buckets": mh_ctes + "\nselect doc_id, band, band_key from buckets",
         "minhash_candidate_pairs": mh_pairs,
+        # analytic ground truth: the synthetic dup set's only >=0.9-jaccard
+        # links are exact copies (i, i+100000), so the pipeline must keep
+        # every original and drop every copy
+        "neardedup_pipeline_keep": r"""
+            with recursive g as (
+              select doc_id,
+                     list_distinct(list_transform(range(1, greatest(length(c) - 4, 1) + 1),
+                                                  i -> substr(c, i::int, 5))) as grams
+              from (select doc_id,
+                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') as c
+                    from documents)
+            ), pairs as (
+              select a.doc_id as id_a, b.doc_id as id_b
+              from g a join g b on a.doc_id < b.doc_id
+              where len(list_intersect(a.grams, b.grams))::double
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.9
+            ), edges as (
+              select id_a as src, id_b as dst from pairs
+              union
+              select id_b, id_a from pairs
+            ), nodes as (select distinct src as n from edges),
+            walk as (
+              select n as node, n as label from nodes
+              union
+              select e.dst as node, w.label
+              from walk w join edges e on e.src = w.node
+              where w.label < e.dst
+            ),
+            comp as (select node, min(label) as cluster_id from walk group by node)
+            select doc_id from documents
+            where doc_id not in (select node from comp where node != cluster_id)""",
         "ngram_jaccard_pairs": f"""
             with base as (
               select doc_id, text from documents where doc_id < 100
