@@ -25,6 +25,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _resolve_master(master: str | None, env: dict, cpus: int) -> str | None:
+    """Which master to set on the builder — or None to leave it alone.
+
+    Under spark-submit (the launcher JVM gateway is already up —
+    PYSPARK_GATEWAY_PORT is in the env), the launcher's --master lives in
+    the JVM conf; calling builder.master() would silently override it and
+    run a cluster job in local mode on the driver host. Only set a master
+    when one was explicitly passed, or when running standalone."""
+    if master is not None:
+        return master
+    if "PYSPARK_GATEWAY_PORT" in env:  # spark-submit owns the master
+        return None
+    return f"local[{cpus}]"
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "manga-ocr-spark",
@@ -41,15 +56,15 @@ def get_spark(
     if pkg_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    master = _resolve_master(master, os.environ, cpus)
     if shuffle_partitions is None:
         # local[N] -> N usable cores; 1 partition per core for the
         # map-heavy extraction profile (shuffles are rare and AQE coalesces)
-        n = cpus if "*" in master else int("".join(c for c in master if c.isdigit()) or cpus)
+        m = master or ""
+        n = cpus if "*" in m else int("".join(c for c in m if c.isdigit()) or cpus)
         shuffle_partitions = max(8, n)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
@@ -68,6 +83,8 @@ def get_spark(
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
+    if master is not None:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -63,7 +63,11 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     Pure SQL expression: transform over a sequence of offsets. Stays in
     codegen; no UDF.
     """
-    canon = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    # explicit char class, NOT \s: Java \s additionally matches \x0B
+    # (vertical tab) while RE2 (DuckDB) and the Python replica below use
+    # [\t\n\f\r ] — one shared definition keeps all three engines'
+    # canonicalization identical on any input
+    canon = F.regexp_replace(F.lower(F.trim(col)), "[\t\n\f\r ]+", " ")
     m = F.greatest(F.length(canon) - F.lit(n - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(canon, i, n))
     return F.array_distinct(grams)
@@ -101,9 +105,11 @@ _MINHASH_EMPTY = MINHASH_P  # sentinel min for gram-less docs (never produced by
 
 
 def _canon_py(text: str | None) -> str:
-    """Python replica of the engines' canonicalization:
-    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'). trim() in both
-    Spark and DuckDB strips ASCII spaces only; RE2 \\s is [\\t\\n\\f\\r ]."""
+    """Python replica of the engines' canonicalization. All three
+    implementations (this, char_shingles' Spark expression, the DuckDB
+    oracle) collapse the explicit class [\\t\\n\\f\\r ] — never \\s, whose
+    meaning differs between Java ([... \\x0B]) and RE2. trim() in both
+    Spark and DuckDB strips ASCII spaces only, mirrored by strip(' ')."""
     import re
 
     if text is None:
@@ -123,6 +129,11 @@ def minhash_signature_py(text: str | None, num_hashes: int = 16) -> list[int]:
     directly unit-testable). Exact integer math — no overflow anywhere."""
     import hashlib
 
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AB)} frozen "
+            "permutation constants (MINHASH_AB) — extend the table first"
+        )
     bases = [
         int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
         for g in _grams_py(_canon_py(text))
@@ -161,6 +172,8 @@ def minhash_lsh_buckets(
     Two docs are near-dup *candidates* iff they share (band, band_key) for
     any band. rows_per_band = num_hashes / bands.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows = num_hashes // bands
     # materialize the UDF output first — a Python UDF cannot be referenced
     # inside a higher-order-function lambda (UNSUPPORTED_FEATURE), and a
@@ -282,16 +295,28 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     (small dense clusters) that is 2-3, so the loop is a handful of
     self-terminating Spark jobs, not a driver-side union-find (which
     would need the whole edge set in one process — impossible at 10^12).
+
+    Each iteration ``localCheckpoint()``s the new labels: lineage is CUT
+    per round, so iteration N's plan contains only iteration N-1's
+    materialized output — without this, every round (plus its convergence
+    probe) would recompute the entire chain of prior joins, an O(d^2)
+    blowup and an exponentially growing plan on deep graphs. ``edges`` is
+    checkpointed once for the same reason (it is re-joined every round).
+    On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for fault-tolerant truncation; localCheckpoint keeps
+    blocks executor-local, the right trade for this sandbox.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -307,6 +332,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -33,6 +33,12 @@ def as_of_join(
     Determinism: right rows sort before left rows at equal ts (<=
     semantics); if ``tiebreak`` is given, right rows tied on (key, ts)
     are pre-reduced to the max-``tiebreak`` row.
+
+    NULL handling: the value columns are carried as ONE struct (non-null
+    for every right row) and unpacked afterwards — so a genuinely-NULL
+    field of the true latest match stays NULL instead of being replaced
+    by a stale value from an older right row, which per-column
+    ``last(ignorenulls)`` would do.
     """
     if tiebreak is not None:
         w0 = Window.partitionBy(key, right_ts).orderBy(F.desc(tiebreak))
@@ -42,20 +48,23 @@ def as_of_join(
             .drop("__rk")
         )
 
+    from pyspark.sql.types import StructField, StructType
+
+    rv_type = StructType([StructField(c, right.schema[c].dataType) for c in value_cols])
     left_payload = [c for c in left.columns if c != key]
     l_side = left.select(
         F.col(key),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__tag"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r_side = right.select(
         F.col(key),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     w = (
         Window.partitionBy(key)
@@ -63,13 +72,12 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_side.unionByName(r_side).select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols],
+        "*", F.last("__rv", ignorenulls=True).over(w).alias("__asof_rv")
     )
     return carried.filter(F.col("__tag") == 1).select(
         key,
         *left_payload,
-        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        *[F.col("__asof_rv")[c].alias(c) for c in value_cols],
     )
 
 
@@ -88,9 +96,18 @@ def salted_two_phase_agg(
     reducer ever materializes a hot key's full row set. AQE's skew
     handling covers joins; this covers aggregations, where AQE cannot
     split one group. Output: (key, sum_<c>..., n).
+
+    The salt is derived from ROW CONTENT (xxhash64 over all columns), not
+    from monotonically_increasing_id(): a nondeterministic shuffle key is
+    the classic lost/duplicated-rows hazard when a fetch failure triggers
+    a map-stage recompute after reducers already consumed some output —
+    exactly the failure mode that matters at the scale this operator is
+    for. Content-hashing keeps hot-key rows spread (duplicates of one hot
+    key differ in the summed columns) while staying replay-stable.
     """
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
     phase1 = salted.groupBy(key, "__salt").agg(
         *[F.sum(c).alias(f"__p_{c}") for c in sum_cols],

@@ -119,6 +119,8 @@ def rolling_hash(col: Column, prefix_chars: int = 64) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the casefolded,
     whitespace-collapsed text. Portable across engines (DuckDB md5 ==
-    Spark md5 on identical bytes), used for exact dedup."""
-    canon = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    Spark md5 on identical bytes), used for exact dedup. The collapse
+    class is explicit [\\t\\n\\f\\r ] (not \\s) so Java and RE2 (the
+    DuckDB oracle) agree on every input — Java \\s also matches \\x0B."""
+    canon = F.regexp_replace(F.lower(F.trim(col)), "[\t\n\f\r ]+", " ")
     return F.md5(F.encode(canon, "UTF-8"))

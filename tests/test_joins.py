@@ -46,6 +46,20 @@ def test_asof_keys_do_not_leak(spark):
     assert out == {"a": 1.0, "b": None}
 
 
+def test_asof_null_value_of_latest_match_stays_null(spark):
+    # point-in-time semantics: the latest as-of row's NULL field must come
+    # through as NULL — not be skipped in favor of a stale older value
+    # (the per-column last(ignorenulls) bug)
+    left = spark.createDataFrame([Row(k=1, ts=_ts(12), name="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_ts(9), price=1.0, note="old"),
+         Row(k=1, rts=_ts(11), price=None, note="latest")]
+    )
+    (r,) = as_of_join(left, right, "k", "ts", "rts", ["price", "note"]).collect()
+    assert r.note == "latest"
+    assert r.price is None  # NOT 1.0 carried from the older row
+
+
 def test_asof_tiebreak_prefers_max(spark):
     left = spark.createDataFrame([Row(k=1, ts=_ts(10), name="x")])
     right = spark.createDataFrame(
@@ -92,3 +106,21 @@ def test_dup_clusters_chain_propagates(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_deep_chain_and_lineage_cut(spark):
+    # diameter-6 path: min-label propagation must iterate ~6 rounds; with
+    # per-iteration localCheckpoint each round's plan starts from the
+    # PREVIOUS round's materialized labels, not the whole join chain
+    from manga_ocr_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(1, 7)])
+    labels = dup_clusters(pairs)
+    out = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert out == {i: 1 for i in range(1, 8)}
+    # lineage is cut: the returned frame is a scan of checkpointed blocks —
+    # zero joins in its plan (without the checkpoint, a diameter-6 run
+    # nests ~12 joins here)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan

@@ -62,6 +62,16 @@ def test_minhash_pairs_find_dup_not_unrelated(docs):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_rejects_num_hashes_beyond_constant_table():
+    with pytest.raises(ValueError, match="num_hashes=32"):
+        D.minhash_signature_py("abc", num_hashes=32)
+
+
+def test_minhash_buckets_reject_uneven_bands(docs):
+    with pytest.raises(ValueError, match="not divisible"):
+        D.minhash_lsh_buckets(docs, num_hashes=16, bands=5)
+
+
 # -- jaccard -----------------------------------------------------------------
 
 
