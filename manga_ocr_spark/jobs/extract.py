@@ -11,8 +11,10 @@ Scale posture (designed for ~10^12 rows / 100 TB, tested at sandbox scale):
 
 - The *only* wide operation in the hot path is the salt repartition, and it
   exists to break host skew; everything else is embarrassingly parallel
-  map work. Metrics/lineage aggregate FROM the extraction output (single
-  pass over the data — no second scan of the html column).
+  map work. Metrics/lineage aggregate from a column-pruned re-read of the
+  COMMITTED extracted parquet (never the html or extracted_text columns,
+  never a persist of text-bearing rows — caching GB-scale rows GC-stalls
+  the JVM).
 - Column pruning matters: metrics-only readers never touch ``html``.
 - Bucketing: rows are assigned a stable ``bucket = pmod(xxhash64(url), B)``.
   Buckets are the unit of commit and resume (lineage anti-join, X8/O5): a
@@ -60,9 +62,15 @@ EXTRACTED_SCHEMA = StructType(
         StructField("n_blocks_dropped", IntegerType()),
         StructField("lang", StringType()),
         StructField("bytes_in", LongType()),
+        # ok = 1 when extraction produced text. Deliberately KEPT in the
+        # written table: metrics/lineage recompute from the committed
+        # parquet without ever re-reading the (huge) extracted_text column.
         StructField("ok", IntegerType()),
     ]
 )
+
+# columns the post-commit stats scan reads — everything EXCEPT the text
+STATS_COLUMNS = ["bucket", "lang", "n_blocks_kept", "n_blocks_dropped", "bytes_in", "ok"]
 
 LINEAGE_SCHEMA = StructType(
     [
@@ -192,6 +200,16 @@ class ExtractJob:
         except Exception:
             return set()
 
+    def stats_scan(self, buckets: list[int]) -> DataFrame:
+        """Pruned re-read of committed extracted/ partitions: partition-
+        pruned to ``buckets``, column-pruned to STATS_COLUMNS — the
+        extracted_text column is never read by metrics/lineage."""
+        return (
+            self.spark.read.parquet(f"{self.out_dir}/extracted")
+            .filter(F.col("bucket").isin(buckets))
+            .select(*STATS_COLUMNS)
+        )
+
     def run(self, pages: DataFrame, max_groups: int | None = None) -> list[int]:
         """Extract all not-yet-committed buckets. Returns buckets committed
         this run. ``max_groups`` caps commit groups (used by the resume test
@@ -211,47 +229,62 @@ class ExtractJob:
             sub = pages.filter(F.col("bucket").isin(group))
             ext = extract_pages(sub, salt_partitions=self.salt_partitions)
             ext = with_bucket(ext, self.num_buckets)
-            # One pass over the extraction output feeds all three sinks.
-            # At sandbox scale a driver-side cache of the extracted rows
-            # would also work, but persist() keeps the plan identical to
-            # the cluster deployment.
-            ext.persist()
-            try:
-                out = ext.drop("ok")
-                if self.partition_by_day:
-                    out = out.withColumn("dt", F.to_date("warc_ts"))
-                    part_cols = ["dt", "bucket"]
-                else:
-                    part_cols = ["bucket"]
-                (
-                    out.write.mode("append")
-                    .partitionBy(*part_cols)
-                    .parquet(f"{self.out_dir}/extracted")
+            # Scale-safe sink pattern: write extracted/ FIRST, then derive
+            # metrics+lineage from a column-pruned re-read of the committed
+            # parquet. A persist() of the full extracted rows (text
+            # included) would pin GBs of deserialized row objects per
+            # group — the resulting GC pressure serializes the JVM at high
+            # core counts (CLAUDE.md). One extra pruned scan of THIS
+            # group's partitions beats caching text.
+            if self.partition_by_day:
+                out = ext.withColumn("dt", F.to_date("warc_ts"))
+                part_cols = ["dt", "bucket"]
+            else:
+                out = ext
+                part_cols = ["bucket"]
+            # dynamic partition overwrite: each bucket belongs to exactly
+            # one group, so re-running an uncommitted group REPLACES its
+            # partial partitions instead of appending duplicates — the
+            # write itself is idempotent, lineage stays the commit marker
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                out.write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(f"{self.out_dir}/extracted")
+            )
+            # ONE pruned scan of the just-committed partitions feeds both
+            # metrics and lineage; per-(bucket, lang) rows are KB-scale
+            per_bl = (
+                self.stats_scan(group)
+                .groupBy("bucket", "lang")
+                .agg(
+                    F.sum("n_blocks_kept").alias("blocks_kept"),
+                    F.sum("n_blocks_dropped").alias("blocks_dropped"),
+                    F.count("*").alias("count"),
+                    F.sum("ok").alias("output_rows"),
+                    F.sum("bytes_in").alias("bytes_in"),
                 )
-                (
-                    ext.groupBy("bucket", "lang")
-                    .agg(
-                        F.sum("n_blocks_kept").alias("blocks_kept"),
-                        F.sum("n_blocks_dropped").alias("blocks_dropped"),
-                        F.count("*").alias("count"),
-                    )
-                    .withColumn("partition_id", F.concat(F.lit("bucket="), F.col("bucket")))
-                    .drop("bucket")
-                    .write.mode("append")
-                    .parquet(f"{self.out_dir}/metrics")
-                )
-                stats = {
-                    int(r["bucket"]): r
-                    for r in ext.groupBy("bucket")
-                    .agg(
-                        F.count("*").alias("input_rows"),
-                        F.sum("ok").alias("output_rows"),
-                        F.sum("bytes_in").alias("bytes_in"),
-                    )
-                    .collect()
-                }
-            finally:
-                ext.unpersist()
+                .collect()
+            )
+            metrics_rows = [
+                (r["lang"], int(r["blocks_kept"]), int(r["blocks_dropped"]),
+                 int(r["count"]), f"bucket={int(r['bucket'])}")
+                for r in per_bl
+            ]
+            self.spark.createDataFrame(
+                metrics_rows,
+                "lang string, blocks_kept bigint, blocks_dropped bigint, "
+                "count bigint, partition_id string",
+            ).write.mode("overwrite").partitionBy("partition_id").parquet(
+                f"{self.out_dir}/metrics"
+            )
+            stats: dict[int, dict] = {}
+            for r in per_bl:
+                b = int(r["bucket"])
+                s = stats.setdefault(b, {"input_rows": 0, "output_rows": 0, "bytes_in": 0})
+                s["input_rows"] += int(r["count"])
+                s["output_rows"] += int(r["output_rows"])
+                s["bytes_in"] += int(r["bytes_in"])
             t_end = time.time()
             lineage_rows = [
                 (

@@ -67,6 +67,42 @@ def test_metrics_written_per_bucket_lang(spark, pages_df, tmp_path):
     assert bytes_total == expected
 
 
+def test_stats_scan_never_reads_text(spark, pages_df, tmp_path):
+    # metrics/lineage derive from a pruned re-read of the committed
+    # parquet: the scan's ReadSchema must exclude extracted_text (at
+    # 100 TB that column IS the table) and prune partitions on bucket
+    out = str(tmp_path / "out")
+    job = ExtractJob(spark, out, num_buckets=4, commit_group_size=4)
+    job.run(pages_df)
+    plan = job.stats_scan([0, 1])._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "extracted_text" not in read_schema
+    assert "n_blocks_kept" in read_schema
+    assert "PartitionFilters: [" in plan
+
+
+def test_mid_group_kill_overwrite_is_idempotent(spark, pages_df, tmp_path):
+    # simulate a kill AFTER the extracted write but BEFORE the lineage
+    # commit: the bucket's parquet files exist with no lineage row — the
+    # rerun must OVERWRITE them (dynamic partition overwrite), not append
+    out = str(tmp_path / "out")
+    job = ExtractJob(spark, out, num_buckets=4, commit_group_size=4)
+    from manga_ocr_spark.jobs.extract import extract_pages, with_bucket
+
+    bucketed = with_bucket(pages_df, 4)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # partial write of bucket partitions, no lineage (the "killed" state)
+    with_bucket(extract_pages(bucketed.filter(F.col("bucket").isin([0, 1]))), 4).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{out}/extracted")
+    # full rerun sees no lineage -> reprocesses everything
+    committed = job.run(pages_df)
+    assert sorted(committed) == [0, 1, 2, 3]
+    ext = spark.read.parquet(f"{out}/extracted")
+    assert ext.count() == pages_df.count()
+    assert ext.groupBy("url").count().filter("count > 1").count() == 0
+
+
 def test_day_bucket_partition_layout(spark, pages_df, tmp_path):
     # north-rule layout: (days(warc_ts), bucket(url)) — time pruning for
     # incremental readers, stable buckets for resume
