@@ -118,6 +118,7 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
     from manga_ocr_spark.operators import dedup as D
     from manga_ocr_spark.operators import similarity as S
+    from manga_ocr_spark.operators import text as T
 
     # the sf parquet files are single-split small; CPU-bound UDF stages
     # (minhash/simhash) need rows spread over cores — at 100 TB the scan
@@ -136,13 +137,14 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
             D.minhash_lsh_buckets(docs)
         ),
         "simhash_docs": lambda: D.simhash64(docs),
+        "simhash_candidate_pairs": lambda: D.simhash_candidate_pairs(docs),
         "cosine_topk": lambda: S.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=10),
         "ann_lsh_topk": lambda: S.lsh_bucket_topk(
             emb.filter(F.col("vec_id") < 20), emb, k=10, dim=64, bits=8
         ),
         "token_stats": lambda: E._q_token_stats(spark, sf_dir),
         "quality_scores": lambda: E._q_quality(spark, sf_dir),
-        "lang_id": lambda: E._q_lang_id(spark, sf_dir),
+        "lang_id": lambda: docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred")),
         "media_meta": lambda: E._q_media_meta(spark, sf_dir),
     }
     times: dict[str, float] = {}

@@ -1,0 +1,80 @@
+"""Upsert (MERGE INTO) semantics over the bucket-partitioned parquet
+layout, plus the latest-wins dedup-on-read view.
+
+The reference reprocesses a re-saved input when its mtime changes
+(/root/reference/manga_ocr/run.py:107,204-206) — i.e. new content under an
+existing key replaces the old output. Iceberg would express this as
+``MERGE INTO ... WHEN MATCHED THEN UPDATE`` with the runtime jar; this
+container has none, so the same semantics are emulated two ways:
+
+- :func:`merge_upsert` — the write-side MERGE: rewrite ONLY the bucket
+  partitions that contain updated keys (partition-pruned read, anti-join
+  out the matched rows, union the updates, dynamic-partition-overwrite
+  those buckets). Cost scales with |touched buckets|, never table size —
+  at 2048 buckets over 100 TB, an update batch touching k buckets
+  rewrites ~k/2048 of the table.
+- :func:`latest_wins` — the read-side view: when a table legitimately
+  holds multiple versions per key (append-only ingest), readers take the
+  max-``order_col`` row per key. One window shuffle on the key.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def latest_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """One row per key: the max-``order_col`` version. ``order_col`` must
+    be unique per key (an ingest timestamp or monotone version number) so
+    row_number is deterministic."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    num_buckets: int,
+) -> list[int]:
+    """MERGE the ``updates`` rows into the parquet table at ``table_dir``
+    (which must be ``partitionBy("bucket")`` with
+    ``bucket = pmod(xxhash64(key_cols...), num_buckets)``): matched keys
+    are replaced, new keys inserted. Returns the rewritten buckets.
+
+    Only the affected bucket partitions are read (partition pruning) and
+    rewritten (dynamic partition overwrite); the rest of the table is
+    untouched on disk. The merged rows are staged to a sibling directory
+    first — Spark cannot overwrite a path it is lazily reading from — then
+    copied over in a second partition-pruned pass.
+    """
+    key_hash = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast(
+        "int"
+    )
+    updates = updates.withColumn("bucket", key_hash)
+    affected = sorted(r.bucket for r in updates.select("bucket").distinct().collect())
+    if not affected:
+        return []
+    existing = spark.read.parquet(table_dir).filter(F.col("bucket").isin(affected))
+    merged = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(updates.select(*existing.columns))
+
+    staging = f"{table_dir}__staging_merge"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(table_dir)
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return affected

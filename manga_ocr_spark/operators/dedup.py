@@ -145,17 +145,56 @@ def minhash_signature_py(text: str | None, num_hashes: int = 16) -> list[int]:
     ]
 
 
+# gram -> np.uint64[num_hashes] permuted-value vector; worker-lifetime,
+# capped (the 5-gram vocabulary of natural text is heavy-tailed, so the
+# cap keeps the hot head resident without unbounded growth)
+_MINHASH_VEC_CACHE: dict[str, "np.ndarray"] = {}
+_MINHASH_VEC_CACHE_CAP = 1 << 19
+
+
 def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as array<long> via an Arrow-batched pandas UDF.
 
-    Map-side only (no shuffle); one md5 per distinct shingle, then
-    ``num_hashes`` affine permutations — portable to the DuckDB oracle.
+    Map-side only (no shuffle). Vectorized across the batch: grams from
+    all docs are flattened, deduped with np.unique, and each DISTINCT
+    gram gets its (md5 base -> ``num_hashes`` affine permutations) vector
+    exactly once per batch — cached across batches up to a cap. The
+    per-doc signature is then one ``np.minimum.at`` segment-min, no
+    per-gram Python in the hot path. Bit-identical to
+    :func:`minhash_signature_py` (pinned by test) and portable to the
+    DuckDB oracle.
     """
     from pyspark.sql.types import ArrayType, LongType
 
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(f"num_hashes={num_hashes} exceeds {len(MINHASH_AB)} constants")
+    ab = MINHASH_AB[:num_hashes]
+
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        return pd.Series([minhash_signature_py(t, num_hashes) for t in texts])
+        import hashlib
+
+        cache = _MINHASH_VEC_CACHE
+        gram_lists = [_grams_py(_canon_py(t)) for t in texts]
+        n = len(gram_lists)
+        lens = np.fromiter((len(g) for g in gram_lists), dtype=np.int64, count=n)
+        flat = np.asarray([g for gs in gram_lists for g in gs], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        vecs = np.empty((len(uniq), num_hashes), dtype=np.uint64)
+        for j, g in enumerate(uniq):
+            v = cache.get(g)
+            if v is None:
+                b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                # exact Python ints (a*b is ~2^121 — no uint64 overflow path)
+                v = np.array([(a * b + bb) % MINHASH_P for a, bb in ab], dtype=np.uint64)
+                if len(cache) < _MINHASH_VEC_CACHE_CAP:
+                    cache[g] = v
+            vecs[j] = v
+        out = np.full((n, num_hashes), np.uint64(_MINHASH_EMPTY), dtype=np.uint64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        np.minimum.at(out, doc_idx, vecs[inv])
+        o = out.astype(np.int64)
+        return pd.Series([row.tolist() for row in o])
 
     return _sig(col)
 
@@ -166,21 +205,31 @@ def minhash_lsh_buckets(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Docs -> (band, band_key, id) bucket assignments.
 
     Two docs are near-dup *candidates* iff they share (band, band_key) for
     any band. rows_per_band = num_hashes / bands.
+
+    ``materialize`` localCheckpoints the signature frame: the downstream
+    self-join re-aliases one side, which defeats ReuseExchange, so WITHOUT
+    materialization the signature UDF runs twice over the corpus
+    (measured: both join branches carried their own ArrowEvalPython).
+    On a cluster the equivalent is staging the signature table to parquet
+    before the join — same idea, fault-tolerant storage.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows = num_hashes // bands
-    # materialize the UDF output first — a Python UDF cannot be referenced
+    # name the UDF output first — a Python UDF cannot be referenced
     # inside a higher-order-function lambda (UNSUPPORTED_FEATURE), and a
     # named column also guarantees the signature is computed exactly once
     sig = df.select(
         F.col(id_col), minhash_signature(F.col(text_col), num_hashes).alias("sig")
     )
+    if materialize:
+        sig = sig.localCheckpoint()
     bands_expr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -349,13 +398,46 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 # -- SimHash ------------------------------------------------------------------
 
+# token -> ±1 sign row (64,), filled lazily inside python workers; the
+# Zipfian vocabulary makes the hit rate high, so md5 runs roughly once per
+# distinct word per worker process, not once per token occurrence
+_SIMHASH_SIGN_CACHE: dict[str, np.ndarray] = {}
+
+
+def simhash_py(text: str | None) -> int:
+    """Reference (per-row) SimHash — the definition the vectorized kernel
+    must reproduce bit-for-bit (pinned by tests/test_operators.py). md5
+    token hashes (engine-portable for oracles); bit j of the signature is
+    set when bit j of the hashes wins the majority vote, MSB-first."""
+    import hashlib
+
+    if not text:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    for tok in str(text).lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)).astype(
+            np.int64
+        )
+        votes += bits * 2 - 1
+    sig = np.uint64(0)
+    for bit, v in enumerate(votes):
+        if v > 0:
+            sig |= np.uint64(1) << np.uint64(63 - bit)
+    return int(np.int64(sig))
+
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc via an Arrow-batched pandas UDF.
 
-    Token hashes come from md5 (stable everywhere); bit-vote accumulation is
-    vectorized numpy over the batch. Near-dups = small Hamming distance;
-    equal-signature grouping is the degenerate (fast) case.
+    Vectorized across the WHOLE batch: tokens from all docs are flattened
+    once, md5 is computed only per *distinct* token (a worker-lifetime
+    cache exploits the Zipfian vocabulary — most tokens repeat), and the
+    bit-votes scatter-add into an (n_docs, 64) matrix with one
+    ``np.add.at``. No per-token Python inner loop survives; the only
+    interpreted work is one md5 per previously-unseen vocabulary word.
+    Near-dups = small Hamming distance; equal-signature grouping is the
+    degenerate (fast) case — see simhash_candidate_pairs for banding.
     """
     from pyspark.sql.types import LongType
 
@@ -363,22 +445,91 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in str(t).lower().split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        cache = _SIMHASH_SIGN_CACHE  # module-level: lives for the worker process
+        tok_lists = [str(t).lower().split() if t else [] for t in texts]
+        lens = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=len(tok_lists))
+        n = len(texts)
+        if int(lens.sum()) == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        flat = [tok for ts in tok_lists for tok in ts]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        signs = np.empty((len(uniq), 64), dtype=np.int8)
+        for j, tok in enumerate(uniq):
+            s = cache.get(tok)
+            if s is None:
                 bits = np.unpackbits(
-                    np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
-                ).astype(np.int64)
-                votes += bits * 2 - 1
-            sig = np.uint64(0)
-            for bit, v in enumerate(votes):
-                if v > 0:
-                    sig |= np.uint64(1) << np.uint64(63 - bit)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
+                    np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8)
+                ).astype(np.int8)
+                s = bits * 2 - 1
+                cache[tok] = s
+            signs[j] = s
+        votes = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(votes, doc_idx, signs[inv].astype(np.int64))
+        bits = (votes > 0).astype(np.uint8)
+        sigs = np.packbits(bits, axis=1).view(">u8").astype(np.uint64).reshape(n)
+        return pd.Series(sigs.view(np.int64))
 
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via banding: split the 64-bit signature into
+    ``bands`` equal bit-slices; docs sharing ANY slice are candidates;
+    exact Hamming distance (JVM ``bit_count(xor)``) verifies
+    ``<= max_hamming``.
+
+    Pigeonhole guarantee: a pair with hamming < ``bands`` differs in fewer
+    bits than there are slices, so at least one slice is identical — the
+    banding finds EVERY such pair without an all-pairs join. The only
+    shuffle is the (band, band_key) self-join on small int keys; this is
+    the same candidate->verify shape as MinHash LSH -> Jaccard, trading
+    shingling cost for a cheaper (token-level) signature.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    # materialized for the same reason as minhash_lsh_buckets: the
+    # self-join would otherwise run the signature UDF once per branch
+    sig = simhash64(df, text_col, id_col).localCheckpoint()
+    # bands unrolled in Python (shift amounts must be literals); band 0 is
+    # the MOST significant slice
+    bands_expr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), (bands - 1 - i) * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands_expr).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -24,11 +24,12 @@ def test_entry_runs_and_extracts(spark):
 def test_every_query_has_known_oracle_status():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
+    # the driver records at most 50 correctness rows — stay at the cap
+    assert len(qs) == 50
     # every oracle key refers to a real query
     assert oracles <= qs
     # rows-only queries are the documented non-SQL-expressible set
     assert qs - oracles == {
-        "simhash_docs",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "media_features",

@@ -62,6 +62,23 @@ def test_minhash_pairs_find_dup_not_unrelated(docs):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_vectorized_matches_reference_per_row(spark):
+    # the batch kernel (np.unique dedup + minimum.at segment-min + cache)
+    # must equal minhash_signature_py exactly, including empty/None texts
+    texts = ["the quick brown fox", "", None, "  WS   and CaSe  ", "abcde" * 40, "x"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", D.minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    want = {i: D.minhash_signature_py(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
 def test_minhash_rejects_num_hashes_beyond_constant_table():
     with pytest.raises(ValueError, match="num_hashes=32"):
         D.minhash_signature_py("abc", num_hashes=32)
@@ -99,6 +116,39 @@ def test_simhash_stability_and_similarity(docs):
 
     assert hamming(out[1], out[4]) < hamming(out[1], out[3])
     assert out[5] == 0  # empty text -> zero signature
+
+
+def test_simhash_candidate_pairs_banding(docs):
+    # docs 1 and 2 tokenize identically (ws/case variants) -> hamming 0,
+    # guaranteed found by pigeonhole; unrelated doc 3 must not pair with
+    # anything at max_hamming=3
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_candidate_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_vectorized_matches_reference_per_row(spark):
+    # the batch-vectorized kernel must equal the per-row definition
+    # (simhash_py) bit-for-bit — including empties, nulls, repeats, and
+    # case folding
+    texts = [
+        "the quick brown fox",
+        "the the the repeated token stress",
+        "",
+        None,
+        "MiXeD CaSe TOKENS mIxEd",
+        "single",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "unicode tökens übermäßig ça va",
+    ]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    want = {i: D.simhash_py(t) for i, t in enumerate(texts)}
+    assert got == want
 
 
 # -- similarity search ---------------------------------------------------------
