@@ -130,6 +130,34 @@ def test_simhash_candidate_pairs_banding(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_simhash_banding_finds_every_close_pair(spark):
+    # pigeonhole completeness: EVERY pair with hamming <= 3 (= bands-1)
+    # must appear in the banded candidates — verified against brute force
+    # over all pairs of a 30-doc corpus with planted near-identical texts
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [base] * 3 + [base.replace("beta", f"w{i}") for i in range(12)] + [
+        f"totally unrelated document number {i} with its own words {i * 7}"
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    sigs = {i: D.simhash_py(t) for i, t in enumerate(texts)}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    want = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if ham(sigs[i], sigs[j]) <= 3
+    }
+    got = {(r.id_a, r.id_b) for r in D.simhash_candidate_pairs(df, max_hamming=3).collect()}
+    assert want, "fixture must contain close pairs"
+    assert got == want
+
+
 def test_simhash_vectorized_matches_reference_per_row(spark):
     # the batch-vectorized kernel must equal the per-row definition
     # (simhash_py) bit-for-bit — including empties, nulls, repeats, and

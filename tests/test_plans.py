@@ -95,6 +95,27 @@ def test_anti_join_resume_shape(spark):
     assert "LeftAnti" in plan
 
 
+def test_candidate_pair_self_joins_scan_materialized_signatures(spark):
+    # the self-join re-aliases one side, defeating ReuseExchange — without
+    # materialization the signature UDF runs once PER BRANCH over the
+    # whole corpus. Pin: both join inputs are scans of the checkpointed
+    # signature RDD; zero Python-UDF evals remain in the pair plan.
+    from manga_ocr_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_lsh_buckets,
+        simhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    for pairs in (
+        minhash_candidate_pairs(minhash_lsh_buckets(docs)),
+        simhash_candidate_pairs(docs),
+    ):
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan  # UDF already ran at checkpoint time
+        assert "Scan ExistingRDD" in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     # X4 at its strongest: pre-bucketed tables co-locate join keys at
     # write time — the join plan has NO Exchange (at 100 TB this is the
