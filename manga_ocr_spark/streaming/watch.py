@@ -52,3 +52,47 @@ def run_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    num_buckets: int = 8,
+):
+    """Streaming ingest with UPSERT semantics: a re-saved page (same url,
+    new file) REPLACES its previous extraction instead of appending a
+    duplicate — the full reference daemon contract (run.py:107,204-206:
+    a new mtime re-keys the work and the result overwrites per key).
+
+    foreachBatch runs the shared batch extraction, then MERGEs on url via
+    jobs/upsert.merge_upsert — only the bucket partitions containing
+    updated urls are rewritten. First batch bootstraps the table with a
+    plain bucketed write.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from manga_ocr_spark.jobs.upsert import merge_upsert
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    table = f"{output_dir}/extracted"
+
+    def _process(batch_df, batch_id: int) -> None:
+        extracted = extract_pages(batch_df).drop("ok", "bytes_in")
+        if not os.path.isdir(table):
+            bucketed = extracted.withColumn(
+                "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
+            )
+            bucketed.write.mode("overwrite").partitionBy("bucket").parquet(table)
+        else:
+            merge_upsert(spark, table, extracted, key_cols=["url"], num_buckets=num_buckets)
+
+    return (
+        pages.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -48,6 +48,52 @@ def test_available_now_catchup_and_incremental(spark, tmp_path):
     assert spark.read.parquet(f"{outdir}/extracted").count() == 42
 
 
+def test_streaming_upsert_replaces_resaved_page(spark, tmp_path):
+    # the full reference-daemon contract (run.py:107,204-206): a re-saved
+    # input (same url, new file/mtime) is reprocessed and its extraction
+    # REPLACES the old row — reader sees exactly the new text, no dups
+    import datetime as dt
+
+    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
+    from manga_ocr_spark.streaming.watch import run_upsert_stream
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 3, 1)
+
+    def page(i: int, body: str):
+        return (
+            f"https://x/{i}",
+            ts,
+            f"<html><body><p>{body}</p></body></html>".encode(),
+            "t",
+            "en",
+        )
+
+    spark.createDataFrame(
+        [page(i, f"original body text number {i}") for i in range(10)], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(indir)
+    q = run_upsert_stream(spark, indir, outdir, ckpt, num_buckets=4)
+    q.awaitTermination(120)
+    table = f"{outdir}/extracted"
+    assert spark.read.parquet(table).count() == 10
+
+    # re-save page 3 with new content (new file => new mtime => new work)
+    spark.createDataFrame(
+        [page(3, "REVISED body text after edit")], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(indir)
+    q2 = run_upsert_stream(spark, indir, outdir, ckpt, num_buckets=4)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(table)
+    assert out.count() == 10  # replaced, not appended
+    row = out.filter("url = 'https://x/3'").collect()
+    assert len(row) == 1
+    assert "REVISED" in row[0].extracted_text
+    assert out.groupBy("url").count().filter("count > 1").count() == 0
+
+
 def test_stateful_host_counters_accumulate_across_restarts(spark, tmp_path):
     # applyInPandasWithState: per-host running counters survive a restart
     # via the checkpoint (the daemon's in-memory state made durable)
