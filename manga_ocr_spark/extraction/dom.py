@@ -112,7 +112,7 @@ _SOFT_BREAK = frozenset({"br", "wbr"})
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One linear text block with layout features (SURVEY.md §1.4)."""
 
@@ -129,9 +129,18 @@ class Block:
     keep: bool = False
 
 
+_ASCII_WS = " \t\n\r\x0b\x0c"
+
+
 def _ws_free_len(s: str) -> int:
-    # equivalent to sum(len(p) for p in s.split()) but C-speed: total
-    # length minus the unicode-whitespace characters split() removes
+    # equivalent to sum(len(p) for p in s.split()) but C-speed. ASCII fast
+    # path (O(1) isascii flag): subtract per-char counts of the exact six
+    # chars str.split() treats as whitespace in ASCII; general path joins.
+    if s.isascii():
+        n = len(s)
+        for ch in _ASCII_WS:
+            n -= s.count(ch)
+        return n
     return len("".join(s.split()))
 
 
@@ -153,6 +162,11 @@ class _BlockParser(HTMLParser):
 
     # -- segment management -------------------------------------------------
     def _flush(self) -> None:
+        # fast exit: most block boundaries carry no text (nested divs,
+        # adjacent tags). link_parts is only ever appended alongside parts,
+        # so empty parts ⇒ empty segment — keep it, skip the allocation.
+        if not self._seg.parts:
+            return
         text = "".join(self._seg.parts)
         if text.strip():
             tag = self._block_stack[-1] if self._block_stack else "body"
@@ -260,21 +274,27 @@ _RAWTEXT_CLOSE = {
 def _scan(html_text: str, p: _BlockParser) -> None:
     pos = 0
     n = len(html_text)
+    # hoisted bound methods / locals: the loop body runs per tag token and
+    # per-iteration attribute lookups are a measurable share of scan time
+    search = _TOKEN_RE.search
+    handle_data = p.handle_data
+    handle_endtag = p.handle_endtag
     while pos < n:
-        m = _TOKEN_RE.search(html_text, pos)
+        m = search(html_text, pos)
         if m is None:
-            p.handle_data(_maybe_unescape(html_text[pos:]))
+            handle_data(_maybe_unescape(html_text[pos:]))
             break
-        if m.start() > pos:
-            p.handle_data(_maybe_unescape(html_text[pos : m.start()]))
+        start = m.start()
+        if start > pos:
+            handle_data(_maybe_unescape(html_text[pos:start]))
         pos = m.end()
-        tag = m.group(2)
+        close, tag, attrs = m.group(1, 2, 3)
         if tag is None:  # comment / cdata / declaration
             continue
         tag = tag.lower()
-        if m.group(1):  # </close>
-            p.handle_endtag(tag)
-        elif m.group(3).rstrip().endswith("/"):  # <self-close/>
+        if close:  # </close>
+            handle_endtag(tag)
+        elif attrs.rstrip().endswith("/"):  # <self-close/>
             p.handle_startendtag(tag, [])
         else:
             p.handle_starttag(tag, [])

@@ -49,6 +49,15 @@ def fold_width(s: str) -> str:
 
 def normalize_block(s: str) -> str:
     """Normalize one text block; deterministic and idempotent."""
+    if s.isascii():
+        # byte-identical fast path: NFC, width-fold, and the U+2026/U+30FB
+        # rules are all identity on pure-ASCII text (CPython's compact str
+        # caches the ascii flag, so the check is O(1)); only the whitespace
+        # collapse and the ASCII dot-run rule can change anything
+        s = " ".join(s.split())
+        if ".." in s:
+            s = _DOT_RUN.sub("...", s)
+        return s
     s = unicodedata.normalize("NFC", s)
     s = fold_width(s)
     s = " ".join(s.split())
