@@ -2,19 +2,31 @@
 
 The engine treats image/audio/video exactly as it treats html: an opaque
 ``binary`` column processed by Arrow-batched UDFs (the reference's payload
-is pixels for the same reason — SURVEY.md §1.1). The decode/resize/
-frame-sample kernels need codec libraries that are NOT in this container,
-so the kernels are stubbed (deterministic fake features clearly marked),
-while everything Spark-side — schema, batch shape, partitioning, UDF
-signature — is real and tested.
+is pixels for the same reason — SURVEY.md §1.1).
 
-``media_meta`` (length + md5) is fully real and oracle-checked.
+Decode tiers:
+
+- **PNG** — REAL decode, stdlib-only: chunk walk, zlib IDAT inflate,
+  per-scanline un-filtering (all five PNG filter types), numpy pixel
+  stats. 8-bit gray/RGB/alpha, non-interlaced.
+- **WAV** — REAL decode via the stdlib ``wave`` module: PCM frames ->
+  numpy -> per-segment RMS energy features.
+- **JPEG / video / everything else** — the codec libraries are NOT in
+  this container, so these fall to a deterministic byte-derived stub
+  (clearly marked). The Spark-side plumbing — schema, batch shape,
+  iterator-init slot, bad-row tolerance — is identical for all tiers and
+  is what the real kernels would ride on. A malformed payload of a real
+  format degrades to the stub rather than killing the task (the
+  reference's per-item try/except, run.py:207-212).
+
+``media_meta`` (length + md5) is pure JVM and oracle-checked.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -40,25 +52,137 @@ MEDIA_FEATURE_SCHEMA = StructType(
 
 FEATURE_DIM = 8
 
-
-def _decode_image_real(payload: bytes):  # pragma: no cover - container lacks codecs
-    """Real decode path — requires an image codec library (absent here)."""
-    raise NotImplementedError(
-        "image codecs are not installed in this container; "
-        "the deterministic stub below stands in for decode+feature-extract"
-    )
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int, list[float]]:
-    """STUB: deterministic fake decode. Derives format/dims/features purely
-    from the bytes so tests are reproducible. Replace with
-    `_decode_image_real` when codecs are available."""
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (h, stride) uint8 pixel matrix.
+
+    Filters 0 (none) and 2 (up) vectorize; 1 (sub), 3 (average) and
+    4 (Paeth) are sequential along x by definition, so they loop — fine
+    for the correctness tier this stdlib decoder is (a production kernel
+    would ride libvips/PIL on a real image, same Spark plumbing).
+    """
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int64
+        )
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 3:  # average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL stdlib PNG decode -> (width, height, 8 luma-band features).
+
+    Supports bit depth 8, color types 0/2/4/6 (gray, RGB, +alpha),
+    non-interlaced. Features: mean luminance of 8 horizontal bands,
+    alpha excluded, normalized to [0, 1] and rounded to 6 places.
+    Raises on anything it does not support (caller falls back).
+    """
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+        raise ValueError("unsupported PNG variant")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    color_ch = {0: 1, 2: 3, 4: 1, 6: 3}[color]  # drop alpha from stats
+    luma = px[:, :, :color_ch].astype(np.float64).mean(axis=2)  # (h, w)
+    bands = np.array_split(luma, FEATURE_DIM, axis=0)
+    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    return int(w), int(h), feat
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL stdlib WAV decode via ``wave``: (n_channels, n_frames,
+    8 per-time-segment RMS features normalized to [0, 1])."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        nch, sampwidth, _rate, nframes = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        if sampwidth != 2:
+            raise ValueError("only 16-bit PCM supported")
+        samples = np.frombuffer(wf.readframes(nframes), dtype="<i2").astype(np.float64)
+    if samples.size == 0:
+        return nch, 0, [0.0] * FEATURE_DIM
+    segs = np.array_split(samples, FEATURE_DIM)
+    feat = [
+        round(float(np.sqrt(np.mean(s * s))) / 32768.0, 6) if s.size else 0.0
+        for s in segs
+    ]
+    return nch, nframes, feat
+
+
+def _stub_decode(payload: bytes) -> tuple[str, int, int, list[float]]:
+    """STUB tier: deterministic byte-derived pseudo-features for formats
+    whose codecs are not in this container (JPEG, video) and for
+    malformed payloads of real formats. Clearly fake dims (bytes-derived),
+    stable across runs."""
     if not payload:
         return ("empty", 0, 0, [0.0] * FEATURE_DIM)
     fmt = "png" if payload[:4] == b"\x89PNG" else "jpeg" if payload[:2] == b"\xff\xd8" else "bin"
     w = 1 + payload[0] % 64
     h = 1 + payload[-1] % 64
-    # byte-histogram-ish feature: mean of each eighth of the payload
     n = len(payload)
     step = max(1, n // FEATURE_DIM)
     feat = [
@@ -69,18 +193,36 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, list[float]]:
     return (fmt, w, h, feat)
 
 
+def _decode(payload: bytes) -> tuple[str, int, int, list[float]]:
+    """Dispatch by magic bytes: real decoders first, stub fallback —
+    a corrupt PNG/WAV degrades to the stub instead of failing the row."""
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            w, h, feat = decode_png(payload)
+            return ("png", w, h, feat)
+        except Exception:
+            return _stub_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            nch, nframes, feat = decode_wav(payload)
+            return ("wav", nch, nframes, feat)
+        except Exception:
+            return ("bin", 0, 0, _stub_decode(payload)[3])
+    return _stub_decode(payload)
+
+
 def media_features(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
     """binary payloads -> per-item features via mapInPandas (iterator form,
-    one-time init slot for a real codec), Arrow-batched."""
+    one-time init slot for heavier codecs), Arrow-batched."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one-time init would load the codec/model here (X1 pattern)
+        # one-time init would load a codec/model here (X1 pattern)
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                fmt, w, h, feat = _fake_decode(bytes(payload) if payload is not None else b"")
+                fmt, w, h, feat = _decode(bytes(payload) if payload is not None else b"")
                 rows.append(
                     {
                         "media_id": int(mid),
