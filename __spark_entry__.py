@@ -742,14 +742,34 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_features(_media_df(spark, sf_dir))
+    """REAL decode through the full Arrow plumbing with an analytic
+    oracle: per doc, synthesize a genuine 16-bit PCM WAV (stdlib wave)
+    with (100 + id%50) frames of constant amplitude 1024*(1 + id%16) —
+    every derived quantity is exact: n_bytes = 44 + 2*frames, RMS =
+    (1 + id%16)/32 (a dyadic rational, exactly representable in float32),
+    so DuckDB can recompute the whole result from doc_id alone."""
+    from manga_ocr_spark.operators.multimodal import wav_payload_from_id
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        wav_payload_from_id(F.col("doc_id")).alias("payload"),
+    )
+    return media_features(media).select(
+        "media_id",
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("rms"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries — the driver records at most 50 correctness
     rows, so consolidated queries each cover several operators (see
     docstrings); oracle-bearing queries come first, the rows-only tail
-    (ann_lsh_topk, ann_ivf_topk, media_features) last."""
+    (ann_lsh_topk, ann_ivf_topk) last."""
     return {
         # flagship extraction (full engine over all three page families —
         # per-family golden paths stay pinned by tests/test_golden_e2e.py)
@@ -803,12 +823,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprint,
-        # multimodal plumbing
+        # multimodal plumbing (media_features: real WAV decode, exact oracle)
         "media_meta": _q_media_meta,
-        # rows-only tail (approximate by construction / stubbed codec)
+        "media_features": _q_media_features,
+        # rows-only tail (approximate by construction; recall pinned by
+        # ann_ivf_recall above)
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
-        "media_features": _q_media_features,
     }
 
 
@@ -1186,6 +1207,14 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
                          else length(text) end)::bigint as n_chars
             from documents""",
         "ann_ivf_recall": "select 5::bigint as n_queries, true as recall_ok",
+        "media_features": """
+            select doc_id as media_id,
+                   (44 + 2 * (100 + doc_id % 50))::bigint as n_bytes,
+                   'wav' as format,
+                   1 as width,
+                   (100 + doc_id % 50)::int as height,
+                   round((1 + doc_id % 16) / 32.0, 6) as rms
+            from documents where doc_id < 200""",
         "media_meta": """
             select doc_id as media_id,
                    octet_length(encode(text))::bigint as n_bytes,
@@ -1331,7 +1360,7 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
                        when lang = 'fr' then 8
                        else 10 end
             group by lang""",
-        # rows-only checks (non-SQL-expressible or stubbed kernels):
-        #   simhash_docs (bit-vote accumulation), ann_lsh_topk (approximate
-        #   recall by construction), media_features (stubbed codec)
+        # rows-only checks (documented reasons): ann_lsh_topk and
+        # ann_ivf_topk are approximate by construction — the ann_ivf_recall
+        # gate pins IVF recall with an oracle instead
     }

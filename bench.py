@@ -201,7 +201,9 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
     with BENCH_SCALE_N / BENCH_SCALE_N4."""
     n = int(os.environ.get("BENCH_SCALE_N", n))
     n4 = int(os.environ.get("BENCH_SCALE_N4", n4))
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "1"))
     results = {}
+    samples: dict[int, list] = {n: [], n4: []}
     paras = os.environ.get("BENCH_EXTRACT_PARAS", "200")  # realistic ~60 KB pages
     # big enough that per-job constant costs (task waves, Arrow feed spin-up,
     # straggler tail ≈ seconds) amortize: the efficiency should measure the
@@ -210,7 +212,10 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
     import shutil as _shutil
 
     have_taskset = _shutil.which("taskset") is not None
-    for cpus in (n, n4):
+    # legs interleaved (N, 4N, N, 4N, ...) so time-varying co-tenant load
+    # on this shared host hits both levels symmetrically; each leg is a
+    # fresh subprocess (fresh JVM = fresh cluster analogue)
+    for cpus in (n, n4) * repeats:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
@@ -249,8 +254,13 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
         if parsed is None:
             sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-2000:] + "\n")
             raise RuntimeError(f"no result line from local[{cpus}] run")
-        results[cpus] = parsed
-        print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+        samples[cpus].append(parsed)
+        print(f"local[{cpus}]: {parsed}", file=sys.stderr)
+    # best-of-repeats per leg: a fresh-process sample can only be SLOWED by
+    # co-tenant load, never sped up, so the max is each leg's least-
+    # contaminated estimate (same rationale as the best-of-4 within a leg)
+    for cpus in (n, n4):
+        results[cpus] = max(samples[cpus], key=lambda r: r["docs_per_sec"])
     thr_n, thr_4n = results[n]["docs_per_sec"], results[n4]["docs_per_sec"]
     eff = round((thr_4n / thr_n) / (n4 / n), 3)
     paras_i = int(paras)
@@ -260,6 +270,7 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
         "docs": results[n]["docs"],
         "docs_per_sec_n": thr_n,
         "docs_per_sec_4n": thr_4n,
+        "samples": {str(c): [r["docs_per_sec"] for r in samples[c]] for c in (n, n4)},
         "scaling_efficiency": eff,
         "passes_0.8": eff >= 0.8,
     }
@@ -286,7 +297,16 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
         f"| local[{n4}] | {results[n4]['docs']} | {results[n4]['sec']} | {thr_4n} |\n\n"
         f"**Scaling efficiency (thr_4N / thr_N) / ({n4}/{n}) = {eff}** "
         f"({'≥' if eff >= 0.8 else '<'} 0.8 required)\n\n"
-        "## Why N=2 vs 4N=8 (and not 8 vs 32)\n\n"
+        + (
+            "All leg samples (docs/sec, interleaved fresh-process runs; the "
+            "table takes each leg's max — a sample can only be slowed by "
+            "co-tenant load, never sped up): "
+            f"local[{n}] = {[r['docs_per_sec'] for r in samples[n]]}, "
+            f"local[{n4}] = {[r['docs_per_sec'] for r in samples[n4]]}\n\n"
+            if repeats > 1
+            else ""
+        )
+        + "## Why N=2 vs 4N=8 (and not 8 vs 32)\n\n"
         "This is a SHARED 32-core host (lscpu: 32 cores, 1 thread/core; no "
         "cgroup quota — but co-tenant load is visible in run-to-run "
         "variance). Raw multiprocessing of the pure-Python extraction core "

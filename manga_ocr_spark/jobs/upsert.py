@@ -53,7 +53,11 @@ def merge_upsert(
     rewritten (dynamic partition overwrite); the rest of the table is
     untouched on disk. The merged rows are staged to a sibling directory
     first — Spark cannot overwrite a path it is lazily reading from — then
-    copied over in a second partition-pruned pass.
+    copied over in a second partition-pruned pass. (The staging cleanup
+    uses local-FS rmtree for this sandbox; on a cluster the staging path
+    lives on the same DFS and is removed via the Hadoop FileSystem API —
+    or the whole operator is replaced by a real Iceberg/Delta MERGE INTO,
+    which is exactly the semantic this emulates.)
     """
     key_hash = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast(
         "int"

@@ -238,6 +238,35 @@ def media_features(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_map, MEDIA_FEATURE_SCHEMA)
 
 
+def wav_payload_from_id(col):
+    """Synthesize a genuine 16-bit PCM WAV per integer id (stdlib wave):
+    (100 + id%50) frames of constant amplitude 1024*(1 + id%16), mono,
+    8 kHz. Every derived quantity is exact — n_bytes = 44 + 2*frames,
+    RMS = (1 + id%16)/32, a dyadic rational exact in float32 — so a SQL
+    oracle can recompute the full decode result from the id alone."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _wav(ids: pd.Series) -> pd.Series:
+        import io
+        import wave
+
+        out = []
+        for i in ids:
+            n = 100 + int(i) % 50
+            amp = 1024 * (1 + int(i) % 16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(np.full(n, amp, dtype="<i2").tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return _wav(col)
+
+
 def media_meta(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
     """Typed metadata over the opaque binary column — pure JVM expressions
     (no UDF): byte length + md5 content hash."""

@@ -32,7 +32,6 @@ def test_every_query_has_known_oracle_status():
     assert qs - oracles == {
         "ann_lsh_topk",
         "ann_ivf_topk",
-        "media_features",
     }
 
 
