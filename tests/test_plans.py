@@ -116,6 +116,19 @@ def test_candidate_pair_self_joins_scan_materialized_signatures(spark):
         assert "Scan ExistingRDD" in plan
 
 
+def test_neardedup_pipeline_never_builds_a_cross_join(spark):
+    # the end-to-end near-dedup query must stay candidate-driven: LSH
+    # buckets -> equi-joins only. A cartesian/nested-loop join anywhere
+    # means the O(N^2) pair space materialized — the thing the two-tier
+    # design exists to prevent at 10^12 docs.
+    import __spark_entry__ as E
+
+    df = E.queries()["neardedup_pipeline_keep"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     # X4 at its strongest: pre-bucketed tables co-locate join keys at
     # write time — the join plan has NO Exchange (at 100 TB this is the
