@@ -136,6 +136,8 @@ def _ws_free_len(s: str) -> int:
     # equivalent to sum(len(p) for p in s.split()) but C-speed. ASCII fast
     # path (O(1) isascii flag): subtract per-char counts of the exact six
     # chars str.split() treats as whitespace in ASCII; general path joins.
+    if not s:
+        return 0
     if s.isascii():
         n = len(s)
         for ch in _ASCII_WS:
@@ -177,7 +179,9 @@ class _BlockParser(HTMLParser):
                     depth=len(self._block_stack),
                     text=text,
                     text_len=_ws_free_len(text),
-                    link_text_len=_ws_free_len("".join(self._seg.link_parts)),
+                    link_text_len=_ws_free_len("".join(self._seg.link_parts))
+                    if self._seg.link_parts
+                    else 0,
                     in_boilerplate=self._boiler_depth > 0,
                 )
             )
@@ -271,43 +275,136 @@ _RAWTEXT_CLOSE = {
 }
 
 
+# tag -> action code for the flat scanner: the single dict lookup replaces
+# four frozenset membership tests per tag. Codes: 1 suppress-subtree,
+# 2 soft break, 3 anchor, 4 block boundary, 5 boilerplate block boundary.
+# Absent = inline no-op.
+_TAG_ACTION: dict[str, int] = {}
+for _t in SUPPRESS_TAGS:
+    _TAG_ACTION[_t] = 1
+for _t in _SOFT_BREAK:
+    _TAG_ACTION[_t] = 2
+_TAG_ACTION["a"] = 3
+for _t in BLOCK_TAGS:
+    _TAG_ACTION[_t] = 5 if _t in BOILERPLATE_TAGS else 4
+
+
 def _scan(html_text: str, p: _BlockParser) -> None:
+    """Flat scanner: one C-regex pass driving inlined handler logic over
+    LOCAL state (no method dispatch, no attribute access in the loop) —
+    semantically identical to feeding _BlockParser, which remains the
+    fallback path; equality on the whole fixture corpus is pinned by
+    tests/test_dom.py. Results are written back into ``p``."""
     pos = 0
     n = len(html_text)
-    # hoisted bound methods / locals: the loop body runs per tag token and
-    # per-iteration attribute lookups are a measurable share of scan time
     search = _TOKEN_RE.search
-    handle_data = p.handle_data
-    handle_endtag = p.handle_endtag
+    actions = _TAG_ACTION
+    blocks = p.blocks
+    parts: list[str] = list(p._seg.parts)
+    link_parts: list[str] = list(p._seg.link_parts)
+    block_stack = p._block_stack
+    suppress_depth = p._suppress_depth
+    anchor_depth = p._anchor_depth
+    boiler_depth = p._boiler_depth
+
+    def flush() -> None:
+        nonlocal parts, link_parts
+        if not parts:
+            return
+        text = "".join(parts)
+        if text.strip():
+            blocks.append(
+                Block(
+                    block_id=len(blocks),
+                    tag=block_stack[-1] if block_stack else "body",
+                    depth=len(block_stack),
+                    text=text,
+                    text_len=_ws_free_len(text),
+                    link_text_len=_ws_free_len("".join(link_parts)) if link_parts else 0,
+                    in_boilerplate=boiler_depth > 0,
+                )
+            )
+        parts = []
+        link_parts = []
+
     while pos < n:
         m = search(html_text, pos)
         if m is None:
-            handle_data(_maybe_unescape(html_text[pos:]))
+            if not suppress_depth and pos < n:
+                data = _maybe_unescape(html_text[pos:])
+                parts.append(data)
+                if anchor_depth:
+                    link_parts.append(data)
             break
         start = m.start()
-        if start > pos:
-            handle_data(_maybe_unescape(html_text[pos:start]))
+        if start > pos and not suppress_depth:
+            data = _maybe_unescape(html_text[pos:start])
+            parts.append(data)
+            if anchor_depth:
+                link_parts.append(data)
         pos = m.end()
         close, tag, attrs = m.group(1, 2, 3)
         if tag is None:  # comment / cdata / declaration
             continue
         tag = tag.lower()
-        if close:  # </close>
-            handle_endtag(tag)
+        act = actions.get(tag)
+        if close:  # </...>
+            if act == 1:
+                if suppress_depth:
+                    suppress_depth -= 1
+            elif suppress_depth:
+                pass
+            elif act == 3:
+                if anchor_depth:
+                    anchor_depth -= 1
+            elif act == 4 or act == 5:
+                flush()
+                if tag in block_stack:
+                    while block_stack:
+                        popped = block_stack.pop()
+                        if popped in BOILERPLATE_TAGS:
+                            boiler_depth -= 1
+                        if popped == tag:
+                            break
         elif attrs.rstrip().endswith("/"):  # <self-close/>
-            p.handle_startendtag(tag, [])
-        else:
-            p.handle_starttag(tag, [])
-            raw = _RAWTEXT_CLOSE.get(tag)
-            if raw is not None:
-                mc = raw.search(html_text, pos)
-                # content skipped entirely (tag is in SUPPRESS_TAGS);
-                # unterminated rawtext swallows to EOF, like html.parser
-                if mc is None:
-                    p.handle_endtag(tag)
-                    break
-                pos = mc.end()
-                p.handle_endtag(tag)
+            if act == 1 or suppress_depth:
+                pass
+            elif act == 2:
+                parts.append(" ")
+            elif act == 4 or act == 5:
+                flush()
+        else:  # <open>
+            if act == 1:
+                suppress_depth += 1
+                raw = _RAWTEXT_CLOSE.get(tag)
+                if raw is not None:
+                    mc = raw.search(html_text, pos)
+                    # content skipped entirely; unterminated rawtext
+                    # swallows to EOF, like html.parser
+                    if mc is None:
+                        suppress_depth -= 1
+                        break
+                    pos = mc.end()
+                    suppress_depth -= 1
+            elif suppress_depth:
+                pass
+            elif act == 2:
+                parts.append(" ")
+            elif act == 3:
+                anchor_depth += 1
+            elif act == 4 or act == 5:
+                flush()
+                block_stack.append(tag)
+                if act == 5:
+                    boiler_depth += 1
+
+    # write state back so p._flush() (and any caller introspection)
+    # behaves exactly as if _BlockParser had processed the stream
+    p._seg.parts = parts
+    p._seg.link_parts = link_parts
+    p._suppress_depth = suppress_depth
+    p._anchor_depth = anchor_depth
+    p._boiler_depth = boiler_depth
 
 
 def _maybe_unescape(data: str) -> str:
