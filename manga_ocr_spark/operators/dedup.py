@@ -48,7 +48,17 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row per distinct content (the min-id row)."""
+    """Keep one row per distinct content (the min-id row).
+
+    Shuffle profile: the fingerprint aggregation ships only (fp, id)
+    pairs with map-side partial_min; the semi join back broadcasts while
+    the keep-list fits (sandbox scale) and degrades to a sort-merge join
+    on the UNIFORM id key at 10^12 rows — one full-row shuffle, which is
+    the floor for this operation on unbucketed storage, and id-keyed so
+    hot duplicate groups (empty pages etc.) cannot skew a reducer the
+    way a fingerprint-window formulation would. On the engine's own
+    bucketed layout the semi join co-locates with the url-hash buckets.
+    """
     w = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
     keep = w.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return df.join(keep, id_col, "left_semi")

@@ -70,6 +70,31 @@ def test_merge_is_idempotent(spark, tmp_path):
     assert len(rows) == 1 and rows[0].text == "NEW1"
 
 
+def test_merge_random_sequence_matches_dict_model(spark, tmp_path):
+    # model check: any sequence of merge batches must leave the table
+    # equal to a plain dict of last-write-wins upserts
+    import random
+
+    rng = random.Random(7)
+    path = str(tmp_path / "tbl")
+    model = {f"u{i}": f"old{i}" for i in range(15)}
+    _write_table(spark, path, [Row(url=k, text=v) for k, v in model.items()])
+    for step in range(4):
+        batch = {
+            f"u{rng.randrange(25)}": f"v{step}_{j}" for j in range(rng.randint(1, 6))
+        }
+        model.update(batch)
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame([Row(url=k, text=v) for k, v in batch.items()]),
+            key_cols=["url"],
+            num_buckets=4,
+        )
+        got = {r.url: r.text for r in spark.read.parquet(path).collect()}
+        assert got == model, f"diverged at step {step}"
+
+
 def test_latest_wins_view(spark):
     df = spark.createDataFrame(
         [
