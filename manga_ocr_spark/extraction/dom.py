@@ -426,6 +426,13 @@ def parse_blocks(html_text: str) -> list[Block]:
     bytes) degrades to best-effort blocks — the bad-row tolerance the
     reference implements with per-item try/except-and-continue
     (run.py:207-212, SURVEY.md §4 X6).
+
+    Scope note: on PATHOLOGICAL tag soup (unterminated ``<!--``, bare
+    ``<``, ``</>``, digit tags) the two paths recover differently —
+    html.parser has elaborate invalid-markup heuristics the regex
+    tokenizer does not replicate. Both are individually deterministic
+    (the golden contract), the equivalence claim is corpus-scoped, and
+    the fallback exists for exceptions, not for recovery differences.
     """
     parser = _BlockParser()
     try:
