@@ -147,6 +147,33 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     return int(w), int(h), feat
 
 
+def decode_bmp(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL stdlib BMP decode: uncompressed 24-bit BITMAPINFOHEADER
+    bottom-up DIBs (the overwhelmingly common variant). Same feature
+    contract as decode_png: 8 horizontal mean-luma bands."""
+    import struct
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    offset = struct.unpack("<I", data[10:14])[0]
+    header_size, w, h = struct.unpack("<Iii", data[14:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if header_size < 40 or bpp != 24 or compression != 0 or h <= 0 or w <= 0:
+        raise ValueError("unsupported BMP variant")
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(data) < offset + stride * h:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset).reshape(
+        h, stride
+    )[:, : w * 3]
+    px = rows.reshape(h, w, 3)[::-1]  # bottom-up -> top-down
+    luma = px.astype(np.float64).mean(axis=2)
+    bands = np.array_split(luma, FEATURE_DIM, axis=0)
+    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    return int(w), int(h), feat
+
+
 def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib WAV decode via ``wave``: (n_channels, n_frames,
     8 per-time-segment RMS features normalized to [0, 1])."""
@@ -202,6 +229,12 @@ def _decode(payload: bytes) -> tuple[str, int, int, list[float]]:
             return ("png", w, h, feat)
         except Exception:
             return _stub_decode(payload)
+    if payload[:2] == b"BM":
+        try:
+            w, h, feat = decode_bmp(payload)
+            return ("bmp", w, h, feat)
+        except Exception:
+            return ("bin", 0, 0, _stub_decode(payload)[3])
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             nch, nframes, feat = decode_wav(payload)

@@ -164,7 +164,6 @@ def train_ivf_centroids(
     )
     centroids: dict[int, list[float]] = {int(r.res): list(r.v) for r in init}
     cent_list = [centroids[i] for i in sorted(centroids)]
-    idx_of = sorted(centroids)
     for _ in range(iters):
         assign = _centroid_assign_udf(cent_list, n_probe=1)
         assigned = v.withColumn("cell", F.element_at(assign(F.col("v")), 1))
@@ -179,7 +178,6 @@ def train_ivf_centroids(
         )
         updated = {int(r.cell): list(r.c) for r in new}
         cent_list = [updated.get(i, cent_list[i]) for i in range(len(cent_list))]
-        idx_of = list(range(len(cent_list)))
     return cent_list
 
 

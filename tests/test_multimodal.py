@@ -100,6 +100,39 @@ def test_png_rejects_unsupported():
         decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
 
 
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP encoder (independent of the decoder)."""
+    h, w, ch = px.shape
+    assert ch == 3
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y].reshape(-1).astype(np.uint8).tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HH", 1, 24)
+        + struct.pack("<IIiiII", 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + bytes(body)
+
+
+def test_bmp_real_decode():
+    from manga_ocr_spark.operators.multimodal import decode_bmp
+
+    px = _gradient_image(9, 11)  # odd width exercises row padding
+    w, h, feat = decode_bmp(encode_bmp(px))
+    assert (w, h) == (9, 11)
+    luma = px.astype(np.float64).mean(axis=2)
+    want = [
+        round(float(b.mean()) / 255.0, 6)
+        for b in np.array_split(luma, FEATURE_DIM, axis=0)
+    ]
+    assert feat == want
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
