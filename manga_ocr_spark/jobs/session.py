@@ -75,7 +75,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # heap scales with task slots: local mode concentrates ALL task
+        # buffers (shuffle, dynamic-partition parquet writers, Arrow
+        # feeds) in the one driver JVM — measured: 60 KB-page extraction
+        # at local[32] OOMs a 16g heap but completes in 48g. ~1.5 GB per
+        # slot, floor 16g; on a real cluster this is per-EXECUTOR memory
+        # and spark-submit's --driver-memory/--executor-memory govern.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{max(16, int(cpus * 1.5))}g"),
+        )
         # throughput GC for batch work: G1's pause-time tuning throttled the
         # allocation-heavy parquet-binary scan at high core counts (measured
         # 3-4x slower scans vs ParallelGC at local[32])

@@ -131,6 +131,53 @@ def test_fast_scanner_matches_stdlib_parser_on_corpus():
         assert fast == std, r.url
 
 
+def test_fast_scanner_matches_stdlib_on_adversarial_wellformed_pages():
+    # beyond the generated corpus: handcrafted well-formed-but-nasty pages
+    # (the kind real crawls contain) must parse identically on both paths.
+    # Pathological INVALID soup is explicitly out of contract (see
+    # parse_blocks docstring) — these are all legal-enough documents.
+    from manga_ocr_spark.extraction import dom as D
+
+    def via_std(t: str):
+        p = D._BlockParser()
+        p.feed(t)
+        p.close()
+        return [(b.tag, b.text, b.link_text_len, b.in_boilerplate) for b in p.blocks]
+
+    pages = [
+        # comment containing markup inside a script, plus CDATA
+        "<script>/* <p>not text</p> */ var x = '<div>';</script>"
+        "<![CDATA[<p>also not</p>]]><p>real content here</p>",
+        # quoted attributes containing > and ', mixed quoting
+        "<div data-x=\"a>b\" data-y='c>d'><p class=\"e>f\">attr text kept</p></div>",
+        # deep nesting with boilerplate landmarks and anchors
+        "<nav><ul>" + "".join(f"<li><a href='/{i}'>nav {i}</a></li>" for i in range(6))
+        + "</ul></nav><main>"
+        + "<div>" * 15 + "<p>deep <a href='/x'>anchored words</a> core</p>" + "</div>" * 15
+        + "</main><footer><p>foot note</p></footer>",
+        # entities everywhere, numeric + named, in and out of anchors
+        "<p>&lt;tag&gt; &amp; &#65;&#x42; <a href='/e'>&quot;linked&quot; &nbsp;text</a></p>",
+        # ruby with rt/rp suppression between kept blocks
+        "<p>before</p><p><ruby>漢字<rp>(</rp><rt>かんじ</rt><rp>)</rp></ruby>base kept</p><p>after</p>",
+        # self-closing soft breaks and hr boundaries interleaved
+        "<p>one<br/>two<br>three</p><hr/><p>four</p><hr><p>five</p>",
+        # uppercase tags and attributes (case folding)
+        "<DIV><P CLASS='X'>Upper Case TAGS</P></DIV>",
+        # table structure (every cell a block boundary)
+        "<table><thead><tr><th>h1</th><th>h2</th></tr></thead>"
+        "<tbody><tr><td>a cell</td><td><a href='/t'>linked cell</a></td></tr></tbody></table>",
+        # doctype + conditional-comment-looking comment + pre with markup-ish text
+        "<!DOCTYPE html><!--[if IE]><p>ie only</p><![endif]--><pre>code < notag > here</pre>",
+        # stray close tags of inline elements and unopened blocks
+        "<p>alpha</b> beta</i></p></section><p>gamma</p>",
+    ]
+    for t in pages:
+        fast = [
+            (b.tag, b.text, b.link_text_len, b.in_boilerplate) for b in D.parse_blocks(t)
+        ]
+        assert fast == via_std(t), t[:80]
+
+
 def test_fast_scanner_rawtext_and_quoted_attrs():
     from manga_ocr_spark.extraction.dom import parse_blocks
 
