@@ -1,0 +1,312 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) luminance decoder — stdlib + numpy.
+
+Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
+coding, 1-4 components with arbitrary sampling factors, restart markers.
+All components' coefficients are entropy-decoded (the interleaved
+bitstream cannot be skipped), but only the LUMA plane is dequantized,
+IDCT'd, and assembled — the engine's image features are luma statistics,
+so chroma upsampling/color conversion is deliberately out of scope.
+Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+ValueError and the caller falls back to the stub tier.
+
+This is the correctness tier of the multimodal kernel (public-spec
+implementation, validated against an independent encoder round-trip and
+the real JPEG files in the reference's test data); a production pipeline
+would ride libjpeg-turbo through the identical Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i of the scan -> (row, col) flattened offset
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 DCT-II basis for the 2-D IDCT: spatial = C.T @ coeff @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class _Huff:
+    """Canonical Huffman table: (length, code) -> symbol, decoded bit-by-bit
+    against per-length first-code/offset arrays (T.81 F.2.2.3)."""
+
+    def __init__(self, bits: list[int], vals: bytes) -> None:
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += n
+                k += n
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        self.vals = vals
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 unstuffing, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None:
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    self.marker = nxt  # restart / EOI: pad with zero bits
+                    continue
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume the pending RSTn marker and realign to byte boundary."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet reached through bit reads: scan forward
+            d = self.data
+            while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+                self.pos += 1
+        else:
+            self.marker = None
+            d = self.data
+            while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+                self.pos += 1
+        self.pos += 2
+
+
+def _decode_huff(r: _BitReader, h: _Huff) -> int:
+    code = r.bit()
+    ln = 1
+    while code > h.maxcode[ln]:
+        code = (code << 1) | r.bit()
+        ln += 1
+        if ln > 16:
+            raise ValueError("corrupt Huffman stream")
+    return h.vals[h.valptr[ln] + code - h.mincode[ln]]
+
+
+def _extend(v: int, t: int) -> int:
+    # T.81 F.2.2.1 EXTEND: map magnitude bits to signed coefficient
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode baseline JPEG -> (width, height, Y plane uint8 [h, w])."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _Huff] = {}
+    ac_tables: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None  # (w, h, comps) comps: list of (cid, hi, vi, tq)
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF 0x{marker:02X} (not baseline)")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                (dc_tables if tc == 0 else ac_tables)[th] = _Huff(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq == 0:
+                    q = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                    p += 65
+                else:
+                    q = np.frombuffer(seg[p + 1 : p + 129], dtype=">u2").astype(np.int32)
+                    p += 129
+                qtables[tq] = q
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            return _decode_scan(
+                data,
+                pos + seglen,
+                frame,
+                scan,
+                qtables,
+                dc_tables,
+                ac_tables,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    qtables,
+    dc_tables,
+    ac_tables,
+    restart_interval: int,
+) -> tuple[int, int, np.ndarray]:
+    if frame is None:
+        raise ValueError("SOS before SOF")
+    w, h, comps = frame
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_id = scan[0][0] if len(scan) == 1 else comps[0][0]
+    lh, lv, ltq = by_id[luma_id]
+    if lh != hmax or lv != vmax:
+        raise ValueError("luma is not the max-resolution component")
+    lq = qtables[ltq]
+
+    r = _BitReader(data, pos)
+    dc_pred = {cid: 0 for cid, _, _ in scan}
+    plane_w = -(-w // (8 * hmax)) * 8 * hmax
+    plane_h = -(-h // (8 * vmax)) * 8 * vmax
+    yplane = np.zeros((plane_h, plane_w), dtype=np.float64)
+
+    def decode_block(cid: int, td: int, ta: int, keep: bool):
+        s = _decode_huff(r, dc_tables[td])
+        diff = _extend(r.bits(s), s) if s else 0
+        dc_pred[cid] += diff
+        coeffs = np.zeros(64, dtype=np.int64) if keep else None
+        if keep:
+            coeffs[0] = dc_pred[cid]
+        k = 1
+        ac = ac_tables[ta]
+        while k < 64:
+            rs = _decode_huff(r, ac)
+            rr, ss = rs >> 4, rs & 0xF
+            if ss == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("AC run past block end")
+            v = _extend(r.bits(ss), ss)
+            if keep:
+                coeffs[k] = v
+            k += 1
+        return coeffs
+
+    if len(scan) == 1:
+        # non-interleaved: MCU = one block of the single component
+        cid, td, ta = scan[0]
+        bw, bh = -(-w // 8), -(-h // 8)
+        mcu_count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    r.align_restart()
+                    dc_pred[cid] = 0
+                coeffs = decode_block(cid, td, ta, keep=(cid == luma_id))
+                if coeffs is not None:
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_ZIGZAG] = coeffs * lq
+                    sp = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                    yplane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = sp
+                mcu_count += 1
+    else:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    r.align_restart()
+                    for cid in dc_pred:
+                        dc_pred[cid] = 0
+                for cid, td, ta in scan:
+                    hi, vi, _tq = by_id[cid]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            coeffs = decode_block(cid, td, ta, keep=(cid == luma_id))
+                            if coeffs is not None:
+                                blk = np.zeros(64, dtype=np.float64)
+                                blk[_ZIGZAG] = coeffs * lq
+                                sp = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                                y0 = (my * vmax + v) * 8
+                                x0 = (mx * hmax + hh) * 8
+                                yplane[y0 : y0 + 8, x0 : x0 + 8] = sp
+                mcu_count += 1
+
+    y = np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.uint8)
+    return int(w), int(h), y

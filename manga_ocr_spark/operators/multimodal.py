@@ -4,20 +4,23 @@ The engine treats image/audio/video exactly as it treats html: an opaque
 ``binary`` column processed by Arrow-batched UDFs (the reference's payload
 is pixels for the same reason — SURVEY.md §1.1).
 
-Decode tiers:
+Decode tiers (all REAL decoders are public-spec, stdlib+numpy, no codec
+libraries):
 
-- **PNG** — REAL decode, stdlib-only: chunk walk, zlib IDAT inflate,
-  per-scanline un-filtering (all five PNG filter types), numpy pixel
-  stats. 8-bit gray/RGB/alpha, non-interlaced.
-- **WAV** — REAL decode via the stdlib ``wave`` module: PCM frames ->
-  numpy -> per-segment RMS energy features.
-- **JPEG / video / everything else** — the codec libraries are NOT in
-  this container, so these fall to a deterministic byte-derived stub
+- **PNG** — chunk walk, zlib IDAT inflate, per-scanline un-filtering
+  (all five filter types), numpy pixel stats. 8-bit gray/RGB/alpha,
+  non-interlaced.
+- **JPEG** — baseline T.81 (operators/jpeg.py): Huffman entropy decode,
+  dequant, IDCT, luma plane; validated against an independent encoder
+  and the reference's real JPEG test images. Progressive/arithmetic
+  fall to the stub tier.
+- **BMP** — uncompressed 24-bit bottom-up DIBs.
+- **WAV** — stdlib ``wave``: PCM frames -> per-segment RMS features.
+- **video / everything else** — deterministic byte-derived stub
   (clearly marked). The Spark-side plumbing — schema, batch shape,
-  iterator-init slot, bad-row tolerance — is identical for all tiers and
-  is what the real kernels would ride on. A malformed payload of a real
-  format degrades to the stub rather than killing the task (the
-  reference's per-item try/except, run.py:207-212).
+  iterator-init slot, bad-row tolerance — is identical for all tiers.
+  A malformed payload of a real format degrades to the stub rather than
+  killing the task (the reference's per-item try/except, run.py:207-212).
 
 ``media_meta`` (length + md5) is pure JVM and oracle-checked.
 """
@@ -147,6 +150,20 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     return int(w), int(h), feat
 
 
+def decode_jpeg_features(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL baseline-JPEG decode (operators/jpeg.py: public-spec T.81
+    Huffman + dequant + IDCT, luma plane only) -> same 8 luma-band
+    feature contract as PNG/BMP. Progressive/arithmetic raise (caller
+    falls back to the stub tier)."""
+    from manga_ocr_spark.operators.jpeg import decode_jpeg_luma
+
+    w, h, y = decode_jpeg_luma(data)
+    luma = y.astype(np.float64)
+    bands = np.array_split(luma, FEATURE_DIM, axis=0)
+    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    return w, h, feat
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib BMP decode: uncompressed 24-bit BITMAPINFOHEADER
     bottom-up DIBs (the overwhelmingly common variant). Same feature
@@ -229,6 +246,12 @@ def _decode(payload: bytes) -> tuple[str, int, int, list[float]]:
             return ("png", w, h, feat)
         except Exception:
             return _stub_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        try:
+            w, h, feat = decode_jpeg_features(payload)
+            return ("jpeg", w, h, feat)
+        except Exception:
+            return _stub_decode(payload)  # progressive/arithmetic -> stub tier
     if payload[:2] == b"BM":
         try:
             w, h, feat = decode_bmp(payload)

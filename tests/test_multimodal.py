@@ -152,6 +152,24 @@ def test_wav_real_decode_rms():
     assert all(abs(f - 0.5 / np.sqrt(2)) < 0.01 for f in feat)
 
 
+def test_media_features_real_jpeg_tier(spark):
+    # a genuine baseline JPEG flows through the REAL decoder inside the
+    # Spark mapInPandas plumbing: true dims, luma-band features
+    from tests.test_jpeg import Q_ONE, _test_image, encode_gray_jpeg
+
+    px = _test_image(24, 16)
+    jpg = encode_gray_jpeg(px, Q_ONE)
+    rows = [Row(media_id=1, payload=bytearray(jpg))]
+    (r,) = media_features(spark.createDataFrame(rows)).collect()
+    assert r.format == "jpeg" and (r.width, r.height) == (24, 16)
+    want = [
+        round(float(b.mean()) / 255.0, 6)
+        for b in np.array_split(px.astype(np.float64), FEATURE_DIM, axis=0)
+    ]
+    # q=1 round-trip is near-lossless: bands within 1/255
+    assert all(abs(a - b) < 1 / 255 for a, b in zip(r.feature, want))
+
+
 def test_media_features_real_and_stub_tiers(spark):
     png = encode_png(_gradient_image(), [0, 1, 2, 3, 4])
     wav = encode_wav((np.ones(800) * 1000).astype(np.int16))
