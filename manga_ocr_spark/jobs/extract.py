@@ -245,10 +245,12 @@ class ExtractJob:
             # dynamic partition overwrite: each bucket belongs to exactly
             # one group, so re-running an uncommitted group REPLACES its
             # partial partitions instead of appending duplicates — the
-            # write itself is idempotent, lineage stays the commit marker
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # write itself is idempotent, lineage stays the commit marker.
+            # Per-write option, NOT a session conf: mutating the session
+            # would silently change later overwrite writes' semantics.
             (
                 out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*part_cols)
                 .parquet(f"{self.out_dir}/extracted")
             )
@@ -275,9 +277,9 @@ class ExtractJob:
                 metrics_rows,
                 "lang string, blocks_kept bigint, blocks_dropped bigint, "
                 "count bigint, partition_id string",
-            ).write.mode("overwrite").partitionBy("partition_id").parquet(
-                f"{self.out_dir}/metrics"
-            )
+            ).write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+                "partition_id"
+            ).parquet(f"{self.out_dir}/metrics")
             stats: dict[int, dict] = {}
             for r in per_bl:
                 b = int(r["bucket"])

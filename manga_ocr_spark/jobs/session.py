@@ -57,17 +57,15 @@ def get_spark(
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = _resolve_master(master, os.environ, cpus)
-    if shuffle_partitions is None:
+    launcher_owned = master is None  # spark-submit decided the master
+    if shuffle_partitions is None and not launcher_owned:
         # local[N] -> N usable cores; 1 partition per core for the
         # map-heavy extraction profile (shuffles are rare and AQE coalesces)
-        m = master or ""
-        n = cpus if "*" in m else int("".join(c for c in m if c.isdigit()) or cpus)
+        n = cpus if "*" in master else int("".join(c for c in master if c.isdigit()) or cpus)
         shuffle_partitions = max(8, n)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.adaptive.enabled", "true")
@@ -92,8 +90,21 @@ def get_spark(
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder = builder.config("spark.default.parallelism", str(shuffle_partitions))
     if master is not None:
         builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if shuffle_partitions is None:
+        # launcher-owned master (spark-submit): derive the per-core
+        # partition tuning from the REAL cluster parallelism, not from
+        # SPARK_GRAFT_CPUS — shuffle.partitions is runtime-settable
+        # (spark.default.parallelism is not; the launcher governs it)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)),
+        )
+    return spark

@@ -37,12 +37,28 @@ def latest_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
+def reduce_latest(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """One row per key: max ``order_col``, ties broken DETERMINISTICALLY
+    by a content hash over all columns (unlike :func:`latest_wins`, which
+    requires a unique order column). Used to pre-reduce update batches
+    that may carry several versions of one key."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), F.desc(F.xxhash64(*[F.col(c) for c in df.columns]))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,
     updates: DataFrame,
     key_cols: list[str],
     num_buckets: int,
+    dedupe_order_col: str | None = None,
 ) -> list[int]:
     """MERGE the ``updates`` rows into the parquet table at ``table_dir``
     (which must be ``partitionBy("bucket")`` with
@@ -58,7 +74,17 @@ def merge_upsert(
     lives on the same DFS and is removed via the Hadoop FileSystem API —
     or the whole operator is replaced by a real Iceberg/Delta MERGE INTO,
     which is exactly the semantic this emulates.)
+
+    ``dedupe_order_col``: when the SAME key can appear more than once in
+    one updates batch (a streaming microbatch holding a page's original
+    save AND its re-save), pass the version/timestamp column — updates
+    are pre-reduced to one row per key (max order value; ties broken by a
+    content hash, deterministically) so the merged table never holds
+    duplicates. Without it, duplicate keys in one batch are the caller's
+    bug and would both be inserted.
     """
+    if dedupe_order_col is not None:
+        updates = reduce_latest(updates, key_cols, dedupe_order_col)
     key_hash = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast(
         "int"
     )
@@ -73,10 +99,12 @@ def merge_upsert(
 
     staging = f"{table_dir}__staging_merge"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         spark.read.parquet(staging)
         .write.mode("overwrite")
+        # per-write option, not a session conf (would leak into later
+        # overwrite writes in the same session)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(table_dir)
     )

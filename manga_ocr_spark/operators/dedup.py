@@ -155,9 +155,12 @@ def minhash_signature_py(text: str | None, num_hashes: int = 16) -> list[int]:
     ]
 
 
-# gram -> np.uint64[num_hashes] permuted-value vector; worker-lifetime,
-# capped (the 5-gram vocabulary of natural text is heavy-tailed, so the
-# cap keeps the hot head resident without unbounded growth)
+# gram -> FULL-WIDTH np.uint64[len(MINHASH_AB)] permuted-value vector
+# (always all 16 permutations, sliced per call — so concurrent
+# minhash_signature calls with different num_hashes share the cache
+# safely); worker-lifetime, capped (the 5-gram vocabulary of natural
+# text is heavy-tailed, so the cap keeps the hot head resident without
+# unbounded growth)
 _MINHASH_VEC_CACHE: dict[str, "np.ndarray"] = {}
 _MINHASH_VEC_CACHE_CAP = 1 << 19
 
@@ -178,7 +181,6 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
 
     if num_hashes > len(MINHASH_AB):
         raise ValueError(f"num_hashes={num_hashes} exceeds {len(MINHASH_AB)} constants")
-    ab = MINHASH_AB[:num_hashes]
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
@@ -195,11 +197,14 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
             v = cache.get(g)
             if v is None:
                 b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                # exact Python ints (a*b is ~2^121 — no uint64 overflow path)
-                v = np.array([(a * b + bb) % MINHASH_P for a, bb in ab], dtype=np.uint64)
+                # exact Python ints (a*b is ~2^121 — no uint64 overflow
+                # path); cache the FULL 16-wide vector, slice per call
+                v = np.array(
+                    [(a * b + bb) % MINHASH_P for a, bb in MINHASH_AB], dtype=np.uint64
+                )
                 if len(cache) < _MINHASH_VEC_CACHE_CAP:
                     cache[g] = v
-            vecs[j] = v
+            vecs[j] = v[:num_hashes]
         out = np.full((n, num_hashes), np.uint64(_MINHASH_EMPTY), dtype=np.uint64)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         np.minimum.at(out, doc_idx, vecs[inv])
@@ -410,8 +415,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 # token -> ±1 sign row (64,), filled lazily inside python workers; the
 # Zipfian vocabulary makes the hit rate high, so md5 runs roughly once per
-# distinct word per worker process, not once per token occurrence
+# distinct word per worker process, not once per token occurrence. Capped:
+# an open web vocabulary (ids, urls, typos) would otherwise grow a
+# long-lived worker's cache without bound.
 _SIMHASH_SIGN_CACHE: dict[str, np.ndarray] = {}
+_SIMHASH_SIGN_CACHE_CAP = 1 << 20
 
 
 def simhash_py(text: str | None) -> int:
@@ -472,7 +480,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                     np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8)
                 ).astype(np.int8)
                 s = bits * 2 - 1
-                cache[tok] = s
+                if len(cache) < _SIMHASH_SIGN_CACHE_CAP:
+                    cache[tok] = s
             signs[j] = s
         votes = np.zeros((n, 64), dtype=np.int64)
         np.add.at(votes, doc_idx, signs[inv].astype(np.int64))

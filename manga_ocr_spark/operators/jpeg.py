@@ -154,6 +154,9 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:

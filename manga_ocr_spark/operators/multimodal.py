@@ -217,14 +217,27 @@ def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
     return nch, nframes, feat
 
 
+def _sniff_format(payload: bytes) -> str:
+    if payload[:4] == b"\x89PNG":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "bin"
+
+
 def _stub_decode(payload: bytes) -> tuple[str, int, int, list[float]]:
     """STUB tier: deterministic byte-derived pseudo-features for formats
-    whose codecs are not in this container (JPEG, video) and for
-    malformed payloads of real formats. Clearly fake dims (bytes-derived),
-    stable across runs."""
+    with no real decoder (video/exotic) and for malformed payloads of
+    real formats — ONE degradation contract for every format: the
+    sniffed format name, clearly-fake byte-derived dims, byte-histogram
+    features. Stable across runs."""
     if not payload:
         return ("empty", 0, 0, [0.0] * FEATURE_DIM)
-    fmt = "png" if payload[:4] == b"\x89PNG" else "jpeg" if payload[:2] == b"\xff\xd8" else "bin"
+    fmt = _sniff_format(payload)
     w = 1 + payload[0] % 64
     h = 1 + payload[-1] % 64
     n = len(payload)
@@ -237,33 +250,27 @@ def _stub_decode(payload: bytes) -> tuple[str, int, int, list[float]]:
     return (fmt, w, h, feat)
 
 
+_REAL_DECODERS = {
+    "png": lambda p: decode_png(p),
+    "jpeg": lambda p: decode_jpeg_features(p),
+    "bmp": lambda p: decode_bmp(p),
+    "wav": lambda p: decode_wav(p),  # returns (n_channels, n_frames, feat)
+}
+
+
 def _decode(payload: bytes) -> tuple[str, int, int, list[float]]:
-    """Dispatch by magic bytes: real decoders first, stub fallback —
-    a corrupt PNG/WAV degrades to the stub instead of failing the row."""
-    if payload[:8] == _PNG_MAGIC:
+    """Dispatch by magic bytes: real decoder first; ANY failure (corrupt
+    payload, progressive JPEG, unsupported variant) degrades uniformly to
+    the stub tier — same format label, fake dims — instead of failing
+    the row."""
+    fmt = _sniff_format(payload) if payload else "empty"
+    real = _REAL_DECODERS.get(fmt)
+    if real is not None:
         try:
-            w, h, feat = decode_png(payload)
-            return ("png", w, h, feat)
+            a, b, feat = real(payload)
+            return (fmt, a, b, feat)
         except Exception:
             return _stub_decode(payload)
-    if payload[:2] == b"\xff\xd8":
-        try:
-            w, h, feat = decode_jpeg_features(payload)
-            return ("jpeg", w, h, feat)
-        except Exception:
-            return _stub_decode(payload)  # progressive/arithmetic -> stub tier
-    if payload[:2] == b"BM":
-        try:
-            w, h, feat = decode_bmp(payload)
-            return ("bmp", w, h, feat)
-        except Exception:
-            return ("bin", 0, 0, _stub_decode(payload)[3])
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        try:
-            nch, nframes, feat = decode_wav(payload)
-            return ("wav", nch, nframes, feat)
-        except Exception:
-            return ("bin", 0, 0, _stub_decode(payload)[3])
     return _stub_decode(payload)
 
 

@@ -66,29 +66,45 @@ def run_upsert_stream(
     duplicate — the full reference daemon contract (run.py:107,204-206:
     a new mtime re-keys the work and the result overwrites per key).
 
-    foreachBatch runs the shared batch extraction, then MERGEs on url via
+    foreachBatch runs the shared batch extraction, pre-reduces the batch
+    to one row per url (latest warc_ts wins — one microbatch can hold a
+    page's original save AND its re-save), then MERGEs on url via
     jobs/upsert.merge_upsert — only the bucket partitions containing
     updated urls are rewritten. First batch bootstraps the table with a
-    plain bucketed write.
+    plain bucketed write; table existence is probed through Spark (not
+    the driver's local filesystem — the table may live on a DFS).
     """
-    import os
-
     from pyspark.sql import functions as F
 
-    from manga_ocr_spark.jobs.upsert import merge_upsert
+    from manga_ocr_spark.jobs.upsert import merge_upsert, reduce_latest
 
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     table = f"{output_dir}/extracted"
 
+    def _table_exists() -> bool:
+        try:
+            spark.read.parquet(table).schema
+            return True
+        except Exception:
+            return False
+
     def _process(batch_df, batch_id: int) -> None:
         extracted = extract_pages(batch_df).drop("ok", "bytes_in")
-        if not os.path.isdir(table):
-            bucketed = extracted.withColumn(
+        if not _table_exists():
+            deduped = reduce_latest(extracted, ["url"], "warc_ts")
+            bucketed = deduped.withColumn(
                 "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
             )
             bucketed.write.mode("overwrite").partitionBy("bucket").parquet(table)
         else:
-            merge_upsert(spark, table, extracted, key_cols=["url"], num_buckets=num_buckets)
+            merge_upsert(
+                spark,
+                table,
+                extracted,
+                key_cols=["url"],
+                num_buckets=num_buckets,
+                dedupe_order_col="warc_ts",
+            )
 
     return (
         pages.writeStream.foreachBatch(_process)

@@ -250,6 +250,19 @@ def test_real_world_jpegs_decode():
     assert decoded >= 4
 
 
+def test_fill_bytes_before_markers_accepted():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    px = _test_image()
+    data = encode_gray_jpeg(px, Q_ONE)
+    # inject fill bytes before the DQT and SOF0 markers
+    data = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xff\xff\xc0", 1
+    )
+    w, h, y = decode_jpeg_luma(data)
+    assert (w, h) == (37, 29)
+    assert int(np.abs(y.astype(int) - px.astype(int)).max()) <= 2
+
+
 def test_progressive_rejected():
     # a SOF2 header must raise (falls to the stub tier in media_features)
     data = bytearray(encode_gray_jpeg(_test_image(), Q_ONE))

@@ -79,6 +79,18 @@ def test_minhash_vectorized_matches_reference_per_row(spark):
     assert got == want
 
 
+def test_minhash_different_num_hashes_share_one_session(spark):
+    # the worker-side gram cache stores FULL-width vectors and slices per
+    # call — mixing num_hashes values over the same grams must not
+    # collide (regression: a width-keyed cache raised broadcast errors)
+    df = spark.createDataFrame([Row(doc_id=1, text="the quick brown fox")])
+    sig16 = df.select(D.minhash_signature(F.col("text"), 16).alias("s")).collect()[0].s
+    sig8 = df.select(D.minhash_signature(F.col("text"), 8).alias("s")).collect()[0].s
+    assert len(sig16) == 16 and len(sig8) == 8
+    assert sig16[:8] == sig8  # same permutations, just truncated
+    assert sig8 == D.minhash_signature_py("the quick brown fox", num_hashes=8)
+
+
 def test_minhash_rejects_num_hashes_beyond_constant_table():
     with pytest.raises(ValueError, match="num_hashes=32"):
         D.minhash_signature_py("abc", num_hashes=32)

@@ -90,11 +90,13 @@ def test_mid_group_kill_overwrite_is_idempotent(spark, pages_df, tmp_path):
     from manga_ocr_spark.jobs.extract import extract_pages, with_bucket
 
     bucketed = with_bucket(pages_df, 4)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # partial write of bucket partitions, no lineage (the "killed" state)
+    # partial write of bucket partitions, no lineage (the "killed" state) —
+    # same per-write option the job itself uses (never a session conf)
     with_bucket(extract_pages(bucketed.filter(F.col("bucket").isin([0, 1]))), 4).write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(f"{out}/extracted")
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
+        f"{out}/extracted"
+    )
     # full rerun sees no lineage -> reprocesses everything
     committed = job.run(pages_df)
     assert sorted(committed) == [0, 1, 2, 3]

@@ -93,6 +93,29 @@ def test_streaming_upsert_replaces_resaved_page(spark, tmp_path):
     assert "REVISED" in row[0].extracted_text
     assert out.groupBy("url").count().filter("count > 1").count() == 0
 
+    # one microbatch carrying BOTH a save and a later re-save of the same
+    # url (availableNow can batch them together): latest warc_ts wins,
+    # still exactly one row per url
+    spark.createDataFrame(
+        [
+            ("https://x/5", ts, b"<html><body><p>mid version five</p></body></html>", "t", "en"),
+            (
+                "https://x/5",
+                ts + dt.timedelta(hours=1),
+                b"<html><body><p>FINAL version five</p></body></html>",
+                "t",
+                "en",
+            ),
+        ],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(indir)
+    q3 = run_upsert_stream(spark, indir, outdir, ckpt, num_buckets=4)
+    q3.awaitTermination(120)
+    out = spark.read.parquet(table)
+    assert out.count() == 10
+    (r5,) = out.filter("url = 'https://x/5'").collect()
+    assert "FINAL" in r5.extracted_text
+
 
 def test_stateful_host_counters_accumulate_across_restarts(spark, tmp_path):
     # applyInPandasWithState: per-host running counters survive a restart

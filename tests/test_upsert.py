@@ -95,6 +95,25 @@ def test_merge_random_sequence_matches_dict_model(spark, tmp_path):
         assert got == model, f"diverged at step {step}"
 
 
+def test_merge_batch_with_duplicate_keys_keeps_latest_only(spark, tmp_path):
+    # one updates batch carrying BOTH versions of a key (a streaming
+    # microbatch seeing a save and a re-save) must leave exactly one row:
+    # the max-order version
+    path = str(tmp_path / "tbl")
+    _write_table(spark, path, [Row(url=f"u{i}", text=f"old{i}") for i in range(6)])
+    updates = spark.createDataFrame(
+        [Row(url="u2", text="v1", ver=1), Row(url="u2", text="v2", ver=2),
+         Row(url="u9", text="new9a", ver=1), Row(url="u9", text="new9b", ver=2)]
+    )
+    # ver orders the reduction; merge_upsert projects to the table schema
+    merge_upsert(
+        spark, path, updates, key_cols=["url"], num_buckets=4, dedupe_order_col="ver"
+    )
+    rows = {r.url: r.text for r in spark.read.parquet(path).collect()}
+    assert rows["u2"] == "v2" and rows["u9"] == "new9b"
+    assert spark.read.parquet(path).groupBy("url").count().filter("count > 1").count() == 0
+
+
 def test_latest_wins_view(spark):
     df = spark.createDataFrame(
         [
