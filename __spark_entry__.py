@@ -30,9 +30,12 @@ from manga_ocr_spark.operators import text as T  # noqa: E402
 from manga_ocr_spark.operators.multimodal import media_features, media_meta  # noqa: E402
 
 # whitespace-normalization applied by the extraction core to the plain-ASCII
-# document texts — shared shape with the SQL oracles
-_NORM_SQL = r"regexp_replace(trim(text), '\s+', ' ', 'g')"
-_FP_SQL = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+# document texts — shared shape with the SQL oracles. The class is the
+# repo-wide explicit [\t\n\f\r ] (in RE2/DuckDB this is exactly \s, but the
+# engine side never uses \s because Java's adds \x0B).
+_WS_SQL = r"[\t\n\f\r ]+"
+_NORM_SQL = rf"regexp_replace(trim(text), '{_WS_SQL}', ' ', 'g')"
+_FP_SQL = rf"md5(regexp_replace(lower(trim(text)), '{_WS_SQL}', ' ', 'g'))"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -594,7 +597,13 @@ def _q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("source", "text")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        toks = pdf["text"].str.split()
+        import re
+
+        # trim + explicit-class split — token-for-token the oracle's
+        # regexp_split_to_array(trim(text), '[\t\n\f\r ]+') on ANY input
+        # (str.split() would also split on \x0B / Unicode whitespace)
+        ws = re.compile(r"[\t\n\f\r ]+")
+        toks = pdf["text"].map(lambda t: ws.split(t.strip(" ")))
         return pd.DataFrame(
             [
                 {
@@ -635,7 +644,7 @@ def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = extract_pages(pages_from_documents(docs)).select("url", "extracted_text")
     golden = docs.select(
         F.concat(F.lit("https://docs.example/"), F.col("doc_id").cast("string")).alias("url"),
-        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("expected_text"),
+        F.regexp_replace(F.trim(F.col("text")), r"[\t\n\f\r ]+", " ").alias("expected_text"),
     )
     return eval_extraction(ext, golden)
 
@@ -853,7 +862,7 @@ def _minhash_ctes(base_select: str) -> str:
 with base as (
   {base_select}
 ), canon as (
-  select doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') as c
+  select doc_id, regexp_replace(lower(trim(text)), '[\\t\\n\\f\\r ]+', ' ', 'g') as c
   from base
 ), grams as (
   select doc_id,
@@ -878,14 +887,15 @@ def _simhash_sql_ctes(base_select: str) -> str:
     """CTEs replicating operators/dedup.py simhash64 in DuckDB SQL:
     lower+whitespace-split tokens -> first 8 md5 bytes as a 64-bit hash ->
     per-bit majority vote -> MSB-first signature. ``sim`` yields
-    (doc_id, simhash BIGINT, s HUGEINT unsigned form); tokenization
-    matches Python str.split() on the ASCII document texts."""
+    (doc_id, simhash BIGINT, s HUGEINT unsigned form); tokenization is the
+    explicit class [\\t\\n\\f\\r ] on BOTH sides (dedup._simhash_tokens),
+    so the equivalence is input-independent, not an ASCII-corpus accident."""
     return f"""
 with sbase as (
   {base_select}
 ), stoks as (
   select doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) as tok
+         unnest(list_filter(regexp_split_to_array(lower(text), '[\\t\\n\\f\\r ]+'), t -> t != '')) as tok
   from sbase
 ), sh as (
   select doc_id, ('0x' || substr(md5(tok), 1, 16))::ubigint as hv from stoks
@@ -939,7 +949,10 @@ from buckets a join buckets b
     )
 
     stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)
-    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    # explicit whitespace class, matching operators/text.py `tokens` — in
+    # RE2 this is literally what \s means, but spelling it out keeps the
+    # repo-wide single definition visible
+    toks = r"regexp_split_to_array(trim(text), '[\t\n\f\r ]+')"
 
     def _marker(words: tuple[str, ...]) -> str:
         pat = r"\b(" + "|".join(words) + r")\b"
@@ -957,8 +970,8 @@ from buckets a join buckets b
 
     shingle5 = (
         "list_distinct(list_transform("
-        "range(1, greatest(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 4, 1) + 1), "
-        "i -> substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i::int, 5)))"
+        "range(1, greatest(length(regexp_replace(lower(trim(text)), '[\\t\\n\\f\\r ]+', ' ', 'g')) - 4, 1) + 1), "
+        "i -> substr(regexp_replace(lower(trim(text)), '[\\t\\n\\f\\r ]+', ' ', 'g'), i::int, 5)))"
     )
 
     sim_docs = (
@@ -1105,7 +1118,7 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
                      list_distinct(list_transform(range(1, greatest(length(c) - 4, 1) + 1),
                                                   i -> substr(c, i::int, 5))) as grams
               from (select doc_id,
-                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') as c
+                           regexp_replace(lower(trim(text)), '[\t\n\f\r ]+', ' ', 'g') as c
                     from documents)
             ), pairs as (
               select a.doc_id as id_a, b.doc_id as id_b
@@ -1165,7 +1178,7 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
             select lang,
                    sum(len({toks}))::bigint as total_tokens,
                    round(avg(len({toks})), 4) as avg_tokens,
-                   sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::bigint
+                   sum(len(regexp_extract_all(text, '\w+|[^\w\t\n\f\r ]')))::bigint
                      as total_bpe_tokens
             from documents group by lang""",
         "quality_scores": f"""
@@ -1295,7 +1308,7 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
         "grouped_stats_applyinpandas": r"""
             select source, count(*)::bigint as n,
                    round(avg(length(text)), 4) as avg_len,
-                   round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) as avg_tokens
+                   round(avg(len(regexp_split_to_array(trim(text), '[\t\n\f\r ]+'))), 4) as avg_tokens
             from documents group by source""",
         "vector_centroids": """
             select k, dim, round(avg(v), 6) as centroid from (

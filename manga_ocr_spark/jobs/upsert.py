@@ -20,9 +20,49 @@ container has none, so the same semantics are emulated two ways:
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works for
+    local paths in this sandbox and any DFS a real cluster mounts."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff a readable parquet table exists at ``path``.
+
+    Only the definitive "nothing there" AnalysisExceptions map to False
+    (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA — an empty directory).
+    Everything else — corrupt footers, permission errors, transient DFS
+    hiccups — RE-RAISES: a caller that treats "cannot read right now" as
+    "does not exist" would route into a bootstrap branch whose
+    mode('overwrite') replaces the whole accumulated table with one batch.
+    Failing the batch so the stream retries is the safe outcome.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except AnalysisException as e:
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn() or ""
+                    break
+                except Exception:
+                    continue
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return False
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return False
+        raise
 
 
 def latest_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -69,11 +109,31 @@ def merge_upsert(
     rewritten (dynamic partition overwrite); the rest of the table is
     untouched on disk. The merged rows are staged to a sibling directory
     first — Spark cannot overwrite a path it is lazily reading from — then
-    copied over in a second partition-pruned pass. (The staging cleanup
-    uses local-FS rmtree for this sandbox; on a cluster the staging path
-    lives on the same DFS and is removed via the Hadoop FileSystem API —
-    or the whole operator is replaced by a real Iceberg/Delta MERGE INTO,
-    which is exactly the semantic this emulates.)
+    copied over in a second partition-pruned pass.
+
+    Crash safety (the commit itself is NOT atomic — dynamic partition
+    overwrite deletes-and-replaces each affected bucket): staging is the
+    write-ahead copy and is only discarded after the live table verifiably
+    holds its content. Protocol:
+
+    1. On entry, recover any leftover staging dir: if it is COMPLETE
+       (``_SUCCESS`` present), a previous merge died mid-commit — finish
+       the commit from staging (idempotent: staging holds the full merged
+       content of every affected bucket, so re-overwriting restores any
+       bucket the crash half-deleted). If incomplete, the table was never
+       touched — just drop the debris.
+    2. Write this merge's staging (now safe to ``overwrite``).
+    3. Commit: dynamic-partition-overwrite the affected buckets from a
+       read of staging.
+    4. Verify the read-back (row count of affected buckets in the live
+       table == staging count) BEFORE deleting staging — until then,
+       staging remains the only guaranteed-good copy.
+
+    A replayed streaming batch re-enters at step 1, so every crash window
+    converges to the correct table + the merge applied exactly once.
+    Concurrent writers to one table are NOT supported (neither are they by
+    the reference's single daemon); a real Iceberg/Delta MERGE INTO — the
+    semantic this emulates — is the multi-writer answer.
 
     ``dedupe_order_col``: when the SAME key can appear more than once in
     one updates batch (a streaming microbatch holding a page's original
@@ -83,6 +143,9 @@ def merge_upsert(
     duplicates. Without it, duplicate keys in one batch are the caller's
     bug and would both be inserted.
     """
+    staging = f"{table_dir}__staging_merge"
+    recover_staging(spark, table_dir, staging)
+
     if dedupe_order_col is not None:
         updates = reduce_latest(updates, key_cols, dedupe_order_col)
     key_hash = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast(
@@ -97,8 +160,28 @@ def merge_upsert(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
     ).unionByName(updates.select(*existing.columns))
 
-    staging = f"{table_dir}__staging_merge"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    _commit_staging(spark, staging, table_dir)
+
+    # read-back verification: staging is the only guaranteed-good copy of
+    # the affected buckets until the live table provably holds them
+    staged_n = spark.read.parquet(staging).count()
+    live_n = (
+        spark.read.parquet(table_dir).filter(F.col("bucket").isin(affected)).count()
+    )
+    if staged_n != live_n:
+        raise RuntimeError(
+            f"merge_upsert commit verification failed: staging has {staged_n} rows "
+            f"but the live table's affected buckets hold {live_n}; staging at "
+            f"{staging} is preserved for recovery"
+        )
+    fs, spath = _hadoop_fs(spark, staging)
+    fs.delete(spath, True)
+    return affected
+
+
+def _commit_staging(spark: SparkSession, staging: str, table_dir: str) -> None:
+    """Dynamic-partition-overwrite the staged buckets into the live table."""
     (
         spark.read.parquet(staging)
         .write.mode("overwrite")
@@ -108,5 +191,28 @@ def merge_upsert(
         .partitionBy("bucket")
         .parquet(table_dir)
     )
-    shutil.rmtree(staging, ignore_errors=True)
-    return affected
+
+
+def recover_staging(spark: SparkSession, table_dir: str, staging: str | None = None) -> bool:
+    """Restore an interrupted :func:`merge_upsert` commit, if any.
+
+    Returns True when a completed staging dir was found and re-committed
+    into the table. Safe to call any time (merge_upsert calls it on every
+    entry); a crash DURING recovery just leaves staging in place for the
+    next attempt.
+    """
+    staging = staging or f"{table_dir}__staging_merge"
+    fs, spath = _hadoop_fs(spark, staging)
+    if not fs.exists(spath):
+        return False
+    success = spark._jvm.org.apache.hadoop.fs.Path(f"{staging}/_SUCCESS")
+    committed = False
+    if fs.exists(success):
+        # the previous merge finished writing staging but may have died
+        # mid-commit; re-committing is idempotent and restores any bucket
+        # the crash half-deleted
+        _commit_staging(spark, staging, table_dir)
+        committed = True
+    # incomplete staging (no _SUCCESS): the table was never touched
+    fs.delete(spath, True)
+    return committed

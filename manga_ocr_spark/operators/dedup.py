@@ -23,6 +23,8 @@ engine-specific hash function leaks into results).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -422,6 +424,17 @@ _SIMHASH_SIGN_CACHE: dict[str, np.ndarray] = {}
 _SIMHASH_SIGN_CACHE_CAP = 1 << 20
 
 
+_SIMHASH_WS = re.compile(r"[\t\n\f\r ]+")
+
+
+def _simhash_tokens(text: str) -> list[str]:
+    """Tokenizer shared by the per-row reference and the vectorized kernel:
+    split on the explicit class [\\t\\n\\f\\r ] — NOT str.split(), which
+    additionally splits on \\x0B and Unicode whitespace that the RE2-based
+    DuckDB oracle (and the repo-wide canonicalization invariant) do not."""
+    return [t for t in _SIMHASH_WS.split(text.lower()) if t]
+
+
 def simhash_py(text: str | None) -> int:
     """Reference (per-row) SimHash — the definition the vectorized kernel
     must reproduce bit-for-bit (pinned by tests/test_operators.py). md5
@@ -432,7 +445,7 @@ def simhash_py(text: str | None) -> int:
     if not text:
         return 0
     votes = np.zeros(64, dtype=np.int64)
-    for tok in str(text).lower().split():
+    for tok in _simhash_tokens(str(text)):
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)).astype(
             np.int64
@@ -464,7 +477,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         import hashlib
 
         cache = _SIMHASH_SIGN_CACHE  # module-level: lives for the worker process
-        tok_lists = [str(t).lower().split() if t else [] for t in texts]
+        tok_lists = [_simhash_tokens(str(t)) if t else [] for t in texts]
         lens = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=len(tok_lists))
         n = len(texts)
         if int(lens.sum()) == 0:

@@ -81,6 +81,18 @@ def as_of_join(
     )
 
 
+def _replay_stable_salt(df: DataFrame, salt_buckets: int):
+    """Salt column for skew-spreading: xxhash64 over (map partition id,
+    all row columns) mod ``salt_buckets``. Deterministic under task retry
+    (a recomputed partition keeps its index), unlike
+    monotonically_increasing_id; spreads byte-identical rows that sit in
+    different map partitions, unlike content-hash alone."""
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.lit(salt_buckets),
+    )
+
+
 def salted_two_phase_agg(
     df: DataFrame,
     key: str,
@@ -97,18 +109,22 @@ def salted_two_phase_agg(
     handling covers joins; this covers aggregations, where AQE cannot
     split one group. Output: (key, sum_<c>..., n).
 
-    The salt is derived from ROW CONTENT (xxhash64 over all columns), not
-    from monotonically_increasing_id(): a nondeterministic shuffle key is
-    the classic lost/duplicated-rows hazard when a fetch failure triggers
-    a map-stage recompute after reducers already consumed some output —
+    The salt is derived from (map partition id, row content) — never from
+    monotonically_increasing_id(): a nondeterministic shuffle key is the
+    classic lost/duplicated-rows hazard when a fetch failure triggers a
+    map-stage recompute after reducers already consumed some output —
     exactly the failure mode that matters at the scale this operator is
-    for. Content-hashing keeps hot-key rows spread (duplicates of one hot
-    key differ in the summed columns) while staying replay-stable.
+    for. spark_partition_id() is replay-stable (a retried task keeps its
+    partition index) and breaks the degenerate case content-hashing alone
+    cannot: BYTE-IDENTICAL rows of one hot key (e.g. repeated zero-value
+    events) all share a content hash and would land on a single reducer.
+    With the partition id mixed in, identical rows from different map
+    partitions spread across salts, and identical rows WITHIN one map
+    partition are combined by phase 1's map-side partial aggregation
+    before they ever shuffle — so no reducer sees more than one partial
+    per (key, map partition).
     """
-    salted = df.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
-    )
+    salted = df.withColumn("__salt", _replay_stable_salt(df, salt_buckets))
     phase1 = salted.groupBy(key, "__salt").agg(
         *[F.sum(c).alias(f"__p_{c}") for c in sum_cols],
         F.count("*").alias("__p_n"),

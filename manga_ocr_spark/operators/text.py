@@ -30,8 +30,11 @@ LANG_MARKERS = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (BPE-ish regex split on \\s+)."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization on the explicit class [\\t\\n\\f\\r ] —
+    never \\s, whose meaning differs between Java (adds \\x0B) and RE2
+    (the DuckDB oracle); one class keeps both engines identical on every
+    input, not just the ASCII corpus."""
+    return F.split(F.trim(col), r"[\t\n\f\r ]+")
 
 
 def token_count(col: Column) -> Column:
@@ -87,8 +90,10 @@ def lang_id(col: Column) -> Column:
 def regex_tokens(col: Column) -> Column:
     """BPE-ish tokenization: word runs OR single non-word-non-space chars —
     the pre-tokenization split most BPE vocabularies assume. Pure regex,
-    stays in codegen."""
-    return F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), F.lit(0))
+    stays in codegen. The whitespace part of the class is explicit
+    [\\t\\n\\f\\r ] (Java \\s would also exclude \\x0B, diverging from the
+    RE2 oracle)."""
+    return F.regexp_extract_all(col, F.lit(r"\w+|[^\w\t\n\f\r ]"), F.lit(0))
 
 
 def regex_token_count(col: Column) -> Column:

@@ -72,25 +72,28 @@ def run_upsert_stream(
     jobs/upsert.merge_upsert — only the bucket partitions containing
     updated urls are rewritten. First batch bootstraps the table with a
     plain bucketed write; table existence is probed through Spark (not
-    the driver's local filesystem — the table may live on a DFS).
+    the driver's local filesystem — the table may live on a DFS) and ONLY
+    a definitive path-not-found maps to "bootstrap": any other read
+    failure on a healthy table (DFS hiccup, permissions, corrupt footer)
+    raises, failing the batch so the stream retries instead of letting the
+    bootstrap branch's mode('overwrite') truncate the accumulated table.
+
+    Exactly-once across restarts: the MERGE commit itself (dynamic
+    partition overwrite) is not atomic, but merge_upsert stages the merged
+    buckets first and recovers an interrupted commit from staging on the
+    next call — a replayed microbatch re-enters recovery, so every crash
+    window converges (see jobs/upsert.merge_upsert's protocol docstring).
     """
     from pyspark.sql import functions as F
 
-    from manga_ocr_spark.jobs.upsert import merge_upsert, reduce_latest
+    from manga_ocr_spark.jobs.upsert import merge_upsert, reduce_latest, table_exists
 
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     table = f"{output_dir}/extracted"
 
-    def _table_exists() -> bool:
-        try:
-            spark.read.parquet(table).schema
-            return True
-        except Exception:
-            return False
-
     def _process(batch_df, batch_id: int) -> None:
         extracted = extract_pages(batch_df).drop("ok", "bytes_in")
-        if not _table_exists():
+        if not table_exists(spark, table):
             deduped = reduce_latest(extracted, ["url"], "warc_ts")
             bucketed = deduped.withColumn(
                 "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")

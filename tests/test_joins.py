@@ -124,3 +124,25 @@ def test_dup_clusters_deep_chain_and_lineage_cut(spark):
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_salted_agg_spreads_byte_identical_hot_rows(spark):
+    # the degenerate case content-hash-only salting cannot break:
+    # byte-identical rows of one hot key (e.g. repeated zero-value events)
+    # share a content hash. With spark_partition_id mixed in, rows in
+    # different map partitions take different salts.
+    from manga_ocr_spark.operators.joins import _replay_stable_salt, salted_two_phase_agg
+
+    df = (
+        spark.range(2000)
+        .selectExpr("'hot' as g", "0.0 as x")  # all rows byte-identical
+        .repartition(8)
+    )
+    n_salts = (
+        df.withColumn("s", _replay_stable_salt(df, 64)).select("s").distinct().count()
+    )
+    assert n_salts > 1, "identical rows collapsed onto a single salt bucket"
+
+    # result identical to the plain aggregation
+    out = salted_two_phase_agg(df, "g", ["x"], salt_buckets=64).collect()
+    assert len(out) == 1 and out[0].n == 2000 and out[0].sum_x == 0.0

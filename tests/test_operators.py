@@ -313,3 +313,51 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
         df.filter(F.col("vec_id") < 2), df, k=3, n_centroids=4, n_probe=1, iters=2
     ).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+
+
+def test_simhash_tokenizer_is_explicit_class_not_str_split(spark):
+    # the repo invariant: whitespace is [\t\n\f\r ] everywhere. str.split()
+    # would ALSO split on \x0b and Unicode whitespace — inputs where the
+    # RE2-based DuckDB oracle would disagree. Pin that both the per-row
+    # reference and the vectorized kernel keep such bytes inside tokens.
+    texts = [
+        "a\x0bb c",          # vertical tab: ONE token "a\x0bb" plus "c"
+        "x y z",         # NBSP stays inside a token
+        "u v w",         # unicode line separator
+        "tab\tand\nnews\rand\fform feeds",  # real separators still split
+    ]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    want = {i: D.simhash_py(t) for i, t in enumerate(texts)}
+    assert got == want
+    # and the reference itself must treat \x0b as a NON-separator: the
+    # signature of "a\x0bb c" equals hashing tokens ["a\x0bb", "c"]
+    assert D._simhash_tokens("a\x0bb c") == ["a\x0bb", "c"]
+    assert D._simhash_tokens(" A\tB\nC ") == ["a", "b", "c"]
+
+
+def test_simhash_duckdb_oracle_matches_on_hostile_whitespace():
+    # input-independent equivalence: run the actual oracle CTE in DuckDB
+    # over texts containing \x0b / NBSP / mixed separators and compare
+    # with the Python reference — the pair must agree on ANY input, not
+    # just the ASCII corpus
+    import duckdb
+
+    from __spark_entry__ import _simhash_sql_ctes
+
+    texts = [
+        "plain ascii words",
+        "a\x0bb c",
+        "x y z",
+        "tab\tsep\nmix\r\fend",
+        "",
+        "MiXeD CaSe",
+    ]
+    con = duckdb.connect()
+    con.execute("create table t(doc_id int, text varchar)")
+    con.executemany("insert into t values (?, ?)", list(enumerate(texts)))
+    sql = _simhash_sql_ctes("select doc_id, text from t") + "\nselect doc_id, simhash from sim"
+    got = dict(con.execute(sql).fetchall())
+    want = {i: D.simhash_py(t) for i, t in enumerate(texts)}
+    assert got == want

@@ -124,3 +124,87 @@ def test_latest_wins_view(spark):
     )
     out = {r.k: (r.v, r.ver) for r in latest_wins(df, ["k"], "ver").collect()}
     assert out == {"a": ("v2", 2), "b": ("only", 1)}
+
+
+def test_table_exists_narrow_exception_contract(spark, tmp_path):
+    # only definitive "nothing there" maps to False; a corrupt/unreadable
+    # table must RAISE — returning False would route a streaming batch
+    # into the bootstrap branch whose overwrite truncates the real table
+    import pytest
+
+    from manga_ocr_spark.jobs.upsert import table_exists
+
+    assert table_exists(spark, str(tmp_path / "missing")) is False
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert table_exists(spark, str(empty)) is False
+
+    real = str(tmp_path / "real")
+    _write_table(spark, real, [Row(url="u0", text="t0")])
+    assert table_exists(spark, real) is True
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-000.parquet").write_text("not parquet " * 10)
+    with pytest.raises(Exception):
+        table_exists(spark, str(corrupt))
+
+
+def test_merge_recovers_interrupted_commit(spark, tmp_path, monkeypatch):
+    # crash DURING the dynamic-partition commit: one affected bucket is
+    # already deleted, the process dies, and the streaming batch replays.
+    # The replayed merge must first restore from the (complete) staging
+    # dir, then re-apply — no rows lost, staging cleaned up.
+    import pytest
+
+    from manga_ocr_spark.jobs import upsert as U
+
+    path = str(tmp_path / "tbl")
+    rows = [Row(url=f"u{i}", text=f"old{i}") for i in range(40)]
+    _write_table(spark, path, rows)
+    updates = spark.createDataFrame([Row(url="u5", text="NEW5"), Row(url="u11", text="NEW11")])
+
+    real_commit = U._commit_staging
+
+    def crash_mid_commit(spark_, staging, table_dir):
+        # simulate the overwrite's delete phase landing for one AFFECTED
+        # bucket before the process dies: remove that bucket entirely
+        import shutil
+
+        affected = sorted(os.path.basename(p) for p in glob.glob(f"{staging}/bucket=*"))
+        shutil.rmtree(os.path.join(table_dir, affected[0]))
+        raise RuntimeError("simulated crash mid-commit")
+
+    monkeypatch.setattr(U, "_commit_staging", crash_mid_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_upsert(spark, path, updates, key_cols=["url"], num_buckets=4)
+    monkeypatch.setattr(U, "_commit_staging", real_commit)
+
+    # table is corrupted on disk right now (a whole bucket missing);
+    # staging holds the only good copy. Replay of the SAME batch:
+    merge_upsert(spark, path, updates, key_cols=["url"], num_buckets=4)
+
+    out = {r.url: r.text for r in spark.read.parquet(path).collect()}
+    assert len(out) == 40  # every original key survived the crash
+    assert out["u5"] == "NEW5" and out["u11"] == "NEW11"
+    assert out["u0"] == "old0"
+    assert not os.path.exists(f"{path}__staging_merge")
+
+
+def test_merge_ignores_incomplete_staging(spark, tmp_path):
+    # a crash DURING the staging write leaves staging without _SUCCESS;
+    # the table was never touched — the next merge must discard the
+    # debris (not "restore" half-written data) and proceed normally
+    path = str(tmp_path / "tbl")
+    _write_table(spark, path, [Row(url=f"u{i}", text=f"old{i}") for i in range(10)])
+    staging = f"{path}__staging_merge"
+    os.makedirs(f"{staging}/bucket=0")
+    with open(f"{staging}/bucket=0/part-000.parquet", "w") as f:
+        f.write("half-written debris")  # no _SUCCESS marker
+
+    updates = spark.createDataFrame([Row(url="u1", text="NEW1")])
+    merge_upsert(spark, path, updates, key_cols=["url"], num_buckets=4)
+
+    out = {r.url: r.text for r in spark.read.parquet(path).collect()}
+    assert len(out) == 10 and out["u1"] == "NEW1" and out["u0"] == "old0"
+    assert not os.path.exists(staging)
