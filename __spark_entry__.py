@@ -66,7 +66,9 @@ def _q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden extraction paths; the oracle branches on the family."""
     docs = _t(spark, sf_dir, "documents")
     ext = extract_pages(pages_from_documents(docs))
-    return ext.select("url", "extracted_text").orderBy("url")
+    # no orderBy: the driver's value-hash is order-insensitive and a
+    # global sort would be pure shuffle cost at scale
+    return ext.select("url", "extracted_text")
 
 
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,12 +165,16 @@ def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_window_package(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W1 + F7: fixed-size packaging of a corpus with zero-padded package
-    # ids (process_cc100.py:43-69,61 analogue) — order-sensitive
-    # row_number window, then the formatted id
-    w = Window.orderBy("doc_id")
+    # ids (process_cc100.py:43-69,61 analogue) — global row_number, then
+    # the formatted id. Two-phase ranking (operators/ranking.py): an
+    # un-partitioned Window.orderBy would pull EVERY row through one task
+    # (Exchange SinglePartition — the classic 100x scale-killer, plan now
+    # pinned absent by tests/test_plans.py); range-bucketed local ranks +
+    # driver-side offsets give the identical result fully partitioned.
+    from manga_ocr_spark.operators.ranking import global_row_number
+
     return (
-        _t(spark, sf_dir, "documents")
-        .withColumn("rn", F.row_number().over(w))
+        global_row_number(_t(spark, sf_dir, "documents"), "doc_id", num_buckets=32)
         .withColumn(
             "package",
             F.format_string("pkg%04d", F.floor((F.col("rn") - 1) / 100).cast("int")),

@@ -146,3 +146,28 @@ def test_salted_agg_spreads_byte_identical_hot_rows(spark):
     # result identical to the plain aggregation
     out = salted_two_phase_agg(df, "g", ["x"], salt_buckets=64).collect()
     assert len(out) == 1 and out[0].n == 2000 and out[0].sum_x == 0.0
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    # two-phase ranking must be BIT-identical to the naive global window
+    from pyspark.sql import Row, Window
+
+    from manga_ocr_spark.operators.ranking import global_row_number
+
+    # adversarial key distribution: dense run + sparse outliers + negatives
+    ids = list(range(100)) + [10_000, 10_001, -5, 2**40, 500, 501, 502]
+    rows = [Row(k=i, payload=f"p{i}") for i in ids]
+    df = spark.createDataFrame(rows).repartition(7)
+
+    got = {r.k: r.rn for r in global_row_number(df, "k", num_buckets=8).collect()}
+    w = Window.orderBy("k")
+    want = {
+        r.k: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+    # more buckets than rows: degenerate splits still rank correctly
+    small = spark.createDataFrame([Row(k=i, payload="x") for i in range(5)])
+    got_small = {r.k: r.rn for r in global_row_number(small, "k", num_buckets=64).collect()}
+    assert got_small == {i: i + 1 for i in range(5)}

@@ -152,3 +152,20 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql(f"drop table if exists {a_name}")
         spark.sql(f"drop table if exists {b_name}")
+
+
+def test_window_package_has_no_single_partition_exchange(spark):
+    # W1 packaging uses two-phase ranking (operators/ranking.py): the plan
+    # must contain a PARTITIONED window, never the Exchange SinglePartition
+    # + global sort an un-partitioned Window.orderBy would plan — that
+    # shape funnels all 10^12 rows through one task.
+    plan = _plan(E._q_window_package(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # the local rank is still a window
+
+
+def test_extract_corpus_has_no_global_sort(spark):
+    # the driver's value-hash is order-insensitive; a global orderBy would
+    # be pure shuffle+sort cost at scale
+    plan = _plan(E.queries()["extract_corpus"](spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower()
