@@ -140,7 +140,7 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_candidate_pairs": lambda: D.simhash_candidate_pairs(docs),
         "cosine_topk": lambda: S.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=10),
         "ann_lsh_topk": lambda: S.lsh_bucket_topk(
-            emb.filter(F.col("vec_id") < 20), emb, k=10, dim=64, bits=8
+            emb.filter(F.col("vec_id") < 20), emb, k=10, dim=64, bits=4, bands=16
         ),
         "token_stats": lambda: E._q_token_stats(spark, sf_dir),
         "quality_scores": lambda: E._q_quality(spark, sf_dir),

@@ -361,3 +361,42 @@ def test_simhash_duckdb_oracle_matches_on_hostile_whitespace():
     got = dict(con.execute(sql).fetchall())
     want = {i: D.simhash_py(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_hyperplane_signatures_band0_equals_single_signature(spark):
+    # contract: band i of the multi-table signatures uses seed base+i, so
+    # band 0 must equal the single-table signature at the base seed — the
+    # multi-band operator is a strict superset of the single-band one
+    rows = [Row(vec_id=i, embedding=[float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    v = F.col("embedding").cast("array<double>")
+    out = df.select(
+        "vec_id",
+        S.hyperplane_signature(v, dim=8, bits=6, seed=42).alias("single"),
+        S.hyperplane_signatures(v, dim=8, bits=6, bands=4, seed=42).alias("multi"),
+    ).collect()
+    for r in out:
+        assert len(r.multi) == 4
+        assert r.multi[0] == r.single
+    # different bands hash differently (not all degenerate-equal)
+    assert any(len(set(r.multi)) > 1 for r in out)
+
+
+def test_lsh_multiband_candidates_superset_single_band(spark):
+    # adding bands can only ADD candidates — recall is monotone in bands
+    rows = [
+        Row(vec_id=i, embedding=[float(((i + 1) * (j + 3)) % 7 - 3) for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    q = df.filter("vec_id < 3")
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(q, df, k=60, dim=8, bits=4, bands=1).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(q, df, k=60, dim=8, bits=4, bands=8).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)
