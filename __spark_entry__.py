@@ -200,6 +200,10 @@ def _q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 incl. the literal per-group set-collection shape (reference
+    # scan_fonts.py:53-102 builds per-font char sets): collect_set +
+    # array_sort, emitted as a joined string so the driver's value-hash
+    # compares it byte-for-byte with DuckDB's list rendering
     return (
         _t(spark, sf_dir, "documents")
         .groupBy("lang")
@@ -207,6 +211,7 @@ def _q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
             F.sum("n_chars").alias("total_chars"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
         )
     )
 
@@ -1087,7 +1092,8 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
         "agg_lang_mix": """
             select lang, count(*)::bigint as n,
                    round(avg(n_chars), 4) as avg_chars,
-                   sum(n_chars)::bigint as total_chars
+                   sum(n_chars)::bigint as total_chars,
+                   array_to_string(list_sort(list_distinct(list(source))), ',') as sources
             from documents group by lang""",
         "broadcast_join_brand": """
             select p.p_brand,

@@ -139,6 +139,11 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_docs": lambda: D.simhash64(docs),
         "simhash_candidate_pairs": lambda: D.simhash_candidate_pairs(docs),
         "cosine_topk": lambda: S.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=10),
+        # the SAME configuration the ann_recall oracle gates (bits=4 x 16
+        # bands): measured recall@10 here at sf0.1's 2000-vector corpus is
+        # 0.89 (vs 0.92-0.96 at sf0.01/sf0.001). bits is the documented
+        # log2(N) knob for bigger corpora; benching a higher-bits/lower-
+        # recall variant would flatter the time at the cost of honesty
         "ann_lsh_topk": lambda: S.lsh_bucket_topk(
             emb.filter(F.col("vec_id") < 20), emb, k=10, dim=64, bits=4, bands=16
         ),
@@ -147,11 +152,22 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "lang_id": lambda: docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred")),
         "media_meta": lambda: E._q_media_meta(spark, sf_dir),
     }
+    # median-of-N per query: round 2's apparent regressions
+    # (dedup_exact_keep +21%, media_meta 6x) were single cold samples on a
+    # shared noisy host — re-measured 5x they sit at/below round-1 levels
+    # (dedup 0.70s, media_meta 0.20s medians; first samples 5.5s/0.46s).
+    # The median of 3 discards the cold-start/co-tenant outlier while
+    # still charging steady-state cost.
+    runs_per_query = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     times: dict[str, float] = {}
     for name, build in qs.items():
-        t0 = time.time()
-        _force(build())
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            _force(build())
+            samples.append(time.time() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
     return times
 
 
