@@ -1,18 +1,26 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) luminance decoder — stdlib + numpy.
+"""JPEG (ITU-T T.81 / JFIF) luminance decoder — stdlib + numpy.
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
-coding, 1-4 components with arbitrary sampling factors, restart markers.
-All components' coefficients are entropy-decoded (the interleaved
-bitstream cannot be skipped), but only the LUMA plane is dequantized,
-IDCT'd, and assembled — the engine's image features are luma statistics,
-so chroma upsampling/color conversion is deliberately out of scope.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-ValueError and the caller falls back to the stub tier.
+Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2), 8-bit
+samples, Huffman entropy coding, 1-4 components with arbitrary sampling
+factors, restart markers. Progressive covers the full feature set:
+spectral selection, successive approximation (DC and AC refinement
+passes, EOB-run coding per T.81 G.1.2), interleaved multi-component DC
+scans and single-component AC scans. In baseline, all components'
+coefficients are entropy-decoded (the interleaved bitstream cannot be
+skipped) but only the LUMA plane is dequantized, IDCT'd, and assembled —
+the engine's image features are luma statistics, so chroma upsampling /
+color conversion is deliberately out of scope. In progressive, scans
+that carry ONLY chroma components are skipped wholesale without entropy
+decoding (each scan is an independent entropy segment — byte stuffing
+guarantees the next real marker is findable), which baseline cannot do.
+Arithmetic coding and 12-bit precision raise ValueError and the caller
+falls back to the stub tier.
 
 This is the correctness tier of the multimodal kernel (public-spec
-implementation, validated against an independent encoder round-trip and
-the real JPEG files in the reference's test data); a production pipeline
-would ride libjpeg-turbo through the identical Spark plumbing.
+implementation, validated against an independent encoder round-trip, a
+progressive-vs-baseline same-coefficients identity, and the real JPEG
+files in the reference's test data); a production pipeline would ride
+libjpeg-turbo through the identical Spark plumbing.
 """
 
 from __future__ import annotations
@@ -84,11 +92,12 @@ class _BitReader:
                 nxt = d[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    self.marker = nxt  # restart / EOI: pad with zero bits
-                    continue
                 else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                    # any real marker ends the entropy segment (restart /
+                    # EOI in baseline; also the next SOS/DHT of a
+                    # progressive stream): pad with zero bits
+                    self.marker = nxt
+                    continue
             else:
                 self.pos += 1
             self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
@@ -139,8 +148,22 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Position of the first real marker at/after ``pos`` — byte stuffing
+    guarantees every 0xFF inside entropy data is followed by 0x00 (or is a
+    restart marker), so the first 0xFF + other byte IS the scan's end."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
 def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode baseline JPEG -> (width, height, Y plane uint8 [h, w])."""
+    """Decode baseline or progressive JPEG -> (width, height, Y uint8 [h, w])."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -149,6 +172,8 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
     ac_tables: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) comps: list of (cid, hi, vi, tq)
+    progressive = False
+    prog: _ProgState | None = None
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -159,11 +184,15 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
             pos += 1
         marker = data[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            if progressive and prog is not None:
+                return prog.reconstruct()
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
-        if marker == 0xC0:  # SOF0 baseline
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -172,8 +201,9 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"unsupported SOF 0x{marker:02X} (not baseline)")
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF 0x{marker:02X}")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -202,18 +232,37 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan,
+                    qtables,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgState(frame, qtables)
+            scan_start = pos + seglen
+            prog.decode_scan(
                 data,
-                pos + seglen,
-                frame,
+                scan_start,
                 scan,
-                qtables,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0xF,
                 dc_tables,
                 ac_tables,
                 restart_interval,
             )
+            pos = _skip_entropy(data, scan_start)
+            continue
         pos += seglen
-    raise ValueError("no SOS marker found")
+    raise ValueError("truncated JPEG (no EOI after scans)" if progressive else "no SOS marker found")
 
 
 def _decode_scan(
@@ -313,3 +362,207 @@ def _decode_scan(
 
     y = np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.uint8)
     return int(w), int(h), y
+
+
+class _ProgState:
+    """Progressive (SOF2) decode state: the luma coefficient accumulator
+    plus the per-scan decoders for T.81 G.1.2 — DC first/refinement
+    (successive approximation of coefficient 0), AC first (spectral
+    selection + EOB-run coding), AC refinement (correction bits). Only
+    luma coefficients are stored; chroma appears here only in interleaved
+    DC scans, where its bits must still be consumed to stay in sync.
+    Coefficients are kept in ZIGZAG order (index = scan position) and
+    scattered to natural order at reconstruction, like the baseline path.
+    """
+
+    def __init__(self, frame, qtables) -> None:
+        if frame is None:
+            raise ValueError("SOS before SOF")
+        w, h, comps = frame
+        self.w, self.h, self.comps = w, h, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        cid, hi, vi, tq = comps[0]
+        if hi != self.hmax or vi != self.vmax:
+            raise ValueError("luma is not the max-resolution component")
+        self.luma_id = cid
+        self.ltq = tq
+        self.qtables = qtables
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        # padded grid: interleaved DC scans cover full MCUs; the
+        # non-interleaved AC scans cover only ceil(w/8) x ceil(h/8) and
+        # leave the padding blocks DC-only (cropped away at the end)
+        self.nbx = self.mcus_x * self.hmax
+        self.nby = self.mcus_y * self.vmax
+        self.coef = np.zeros((self.nby, self.nbx, 64), dtype=np.int64)
+
+    def decode_scan(
+        self, data, pos, scan, ss, se, ah, al, dc_tables, ac_tables, restart_interval
+    ) -> None:
+        # T.81 G.1: DC scans are exactly the (0,0) band; AC bands live in
+        # [1,63]. A baseline-shaped (0,63) header under SOF2 is corrupt.
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and not (ss <= se <= 63):
+            raise ValueError("bad progressive spectral band")
+        if all(cid != self.luma_id for cid, _, _ in scan):
+            return  # chroma-only scan: entropy data skipped by the caller
+        r = _BitReader(data, pos)
+        if ss == 0:
+            self._dc_scan(r, scan, ah, al, dc_tables, restart_interval)
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            _cid, _td, ta = scan[0]
+            if ah == 0:
+                self._ac_first(r, ac_tables[ta], ss, se, al, restart_interval)
+            else:
+                self._ac_refine(r, ac_tables[ta], ss, se, al, restart_interval)
+
+    def _dc_scan(self, r, scan, ah, al, dc_tables, ri) -> None:
+        by_id = {cid: (hi, vi) for cid, hi, vi, _tq in self.comps}
+        pred = {cid: 0 for cid, _, _ in scan}
+
+        def block(cid: int, td: int, keep_pos) -> None:
+            if ah == 0:  # first pass: Huffman DC diff, point-transformed
+                s = _decode_huff(r, dc_tables[td])
+                diff = _extend(r.bits(s), s) if s else 0
+                pred[cid] += diff
+                if keep_pos is not None:
+                    self.coef[keep_pos[0], keep_pos[1], 0] = pred[cid] << al
+            else:  # refinement: one raw bit per block, OR into position Al
+                bit = r.bit()
+                if bit and keep_pos is not None:
+                    self.coef[keep_pos[0], keep_pos[1], 0] |= 1 << al
+
+        mcu = 0
+        if len(scan) == 1:
+            # non-interleaved single-component scan — only luma reaches
+            # here, whose grid is the unpadded ceil(w/8) x ceil(h/8)
+            cid, td, _ta = scan[0]
+            bw, bh = -(-self.w // 8), -(-self.h // 8)
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and mcu and mcu % ri == 0:
+                        r.align_restart()
+                        for c in pred:
+                            pred[c] = 0
+                    block(cid, td, (by, bx))
+                    mcu += 1
+        else:
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    if ri and mcu and mcu % ri == 0:
+                        r.align_restart()
+                        for c in pred:
+                            pred[c] = 0
+                    for cid, td, _ta in scan:
+                        hi, vi = by_id[cid]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                keep = (
+                                    (my * self.vmax + v, mx * self.hmax + hh)
+                                    if cid == self.luma_id
+                                    else None
+                                )
+                                block(cid, td, keep)
+                    mcu += 1
+
+    def _ac_first(self, r, ac, ss, se, al, ri) -> None:
+        # G.1.2.2: spectral band [ss..se], values point-transformed by Al,
+        # runs of all-zero bands coded as EOBRUN
+        bw, bh = -(-self.w // 8), -(-self.h // 8)
+        eobrun = 0
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and mcu and mcu % ri == 0:
+                    r.align_restart()
+                    eobrun = 0
+                mcu += 1
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                cf = self.coef[by, bx]
+                k = ss
+                while k <= se:
+                    rs = _decode_huff(r, ac)
+                    rr, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if rr != 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        cf[k] = _extend(r.bits(s), s) << al
+                        k += 1
+
+    def _ac_refine(self, r, ac, ss, se, al, ri) -> None:
+        # G.1.2.3: one correction bit per already-nonzero coefficient,
+        # newly-nonzero coefficients appear as +-(1<<Al); EOBRUN covers
+        # blocks whose remaining band has corrections only
+        p1 = 1 << al
+        bw, bh = -(-self.w // 8), -(-self.h // 8)
+        eobrun = 0
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and mcu and mcu % ri == 0:
+                    r.align_restart()
+                    eobrun = 0
+                mcu += 1
+                cf = self.coef[by, bx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(r, ac)
+                        rr, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if rr != 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break
+                            # rr == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError("refinement magnitude must be 1")
+                            newval = p1 if r.bit() else -p1
+                        while k <= se:
+                            c = int(cf[k])
+                            if c != 0:
+                                if r.bit() and (c & p1) == 0:
+                                    cf[k] = c + (p1 if c > 0 else -p1)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if newval and k <= se:
+                            cf[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(cf[k])
+                        if c != 0:
+                            if r.bit() and (c & p1) == 0:
+                                cf[k] = c + (p1 if c > 0 else -p1)
+                        k += 1
+                    eobrun -= 1
+
+    def reconstruct(self) -> tuple[int, int, np.ndarray]:
+        lq = self.qtables[self.ltq]
+        deq = np.zeros((self.nby, self.nbx, 64), dtype=np.float64)
+        deq[:, :, _ZIGZAG] = self.coef * lq
+        blocks = deq.reshape(self.nby, self.nbx, 8, 8)
+        sp = np.einsum("ux,abuv,vy->abxy", _C, blocks, _C) + 128.0
+        plane = sp.transpose(0, 2, 1, 3).reshape(self.nby * 8, self.nbx * 8)
+        y = np.clip(np.rint(plane[: self.h, : self.w]), 0, 255).astype(np.uint8)
+        return int(self.w), int(self.h), y

@@ -10,10 +10,11 @@ libraries):
 - **PNG** — chunk walk, zlib IDAT inflate, per-scanline un-filtering
   (all five filter types), numpy pixel stats. 8-bit gray/RGB/alpha,
   non-interlaced.
-- **JPEG** — baseline T.81 (operators/jpeg.py): Huffman entropy decode,
-  dequant, IDCT, luma plane; validated against an independent encoder
-  and the reference's real JPEG test images. Progressive/arithmetic
-  fall to the stub tier.
+- **JPEG** — T.81 baseline (SOF0) AND progressive (SOF2: spectral
+  selection, successive approximation, EOB runs) via operators/jpeg.py:
+  Huffman entropy decode, dequant, IDCT, luma plane; validated against
+  an independent encoder and the reference's real JPEG test images.
+  Arithmetic coding falls to the stub tier.
 - **BMP** — uncompressed 24-bit bottom-up DIBs.
 - **WAV** — stdlib ``wave``: PCM frames -> per-segment RMS features.
 - **video / everything else** — deterministic byte-derived stub
@@ -151,10 +152,10 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_jpeg_features(data: bytes) -> tuple[int, int, list[float]]:
-    """REAL baseline-JPEG decode (operators/jpeg.py: public-spec T.81
-    Huffman + dequant + IDCT, luma plane only) -> same 8 luma-band
-    feature contract as PNG/BMP. Progressive/arithmetic raise (caller
-    falls back to the stub tier)."""
+    """REAL JPEG decode (operators/jpeg.py: public-spec T.81 Huffman +
+    dequant + IDCT, luma plane only; baseline AND progressive) -> same 8
+    luma-band feature contract as PNG/BMP. Arithmetic coding raises
+    (caller falls back to the stub tier)."""
     from manga_ocr_spark.operators.jpeg import decode_jpeg_luma
 
     w, h, y = decode_jpeg_luma(data)
@@ -260,7 +261,7 @@ _REAL_DECODERS = {
 
 def _decode(payload: bytes) -> tuple[str, int, int, list[float]]:
     """Dispatch by magic bytes: real decoder first; ANY failure (corrupt
-    payload, progressive JPEG, unsupported variant) degrades uniformly to
+    payload, arithmetic-coded JPEG, unsupported variant) degrades uniformly to
     the stub tier — same format label, fake dims — instead of failing
     the row."""
     fmt = _sniff_format(payload) if payload else "empty"

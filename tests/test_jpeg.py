@@ -263,10 +263,12 @@ def test_fill_bytes_before_markers_accepted():
     assert int(np.abs(y.astype(int) - px.astype(int)).max()) <= 2
 
 
-def test_progressive_rejected():
-    # a SOF2 header must raise (falls to the stub tier in media_features)
+def test_extended_sequential_rejected():
+    # an SOF1 (extended sequential) header must raise (falls to the stub
+    # tier in media_features); progressive SOF2 is now SUPPORTED and has
+    # its own suite in test_jpeg_progressive.py
     data = bytearray(encode_gray_jpeg(_test_image(), Q_ONE))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="not baseline"):
+    data[idx + 1] = 0xC1
+    with pytest.raises(ValueError, match="unsupported SOF"):
         decode_jpeg_luma(bytes(data))
