@@ -106,13 +106,26 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 interlacing: per-pass (x_start, y_start, x_step, y_step); each
+# pass is an independently-filtered sub-image in the IDAT stream
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib PNG decode -> (width, height, 8 luma-band features).
 
     Supports bit depth 8, color types 0/2/4/6 (gray, RGB, +alpha),
-    non-interlaced. Features: mean luminance of 8 horizontal bands,
-    alpha excluded, normalized to [0, 1] and rounded to 6 places.
-    Raises on anything it does not support (caller falls back).
+    non-interlaced AND Adam7-interlaced. Features: mean luminance of 8
+    horizontal bands, alpha excluded, normalized to [0, 1] and rounded to
+    6 places. Raises on anything it does not support (caller falls back).
     """
     import struct
     import zlib
@@ -136,14 +149,32 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 4, 6):
         raise ValueError("unsupported PNG variant")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     stride = w * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, de-interlaced
+        # back onto the full-pixel grid
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos2 = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = -(-(w - xs) // xstep) if w > xs else 0
+            ph = -(-(h - ys) // ystep) if h > ys else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            sub_raw = raw[pos2 : pos2 + ph * (pstride + 1)]
+            pos2 += ph * (pstride + 1)
+            sub = _png_unfilter(sub_raw, ph, pstride, channels).reshape(ph, pw, channels)
+            px[ys::ystep, xs::xstep] = sub
+        if pos2 != len(raw):
+            raise ValueError("IDAT size mismatch")
+    else:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT size mismatch")
+        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     color_ch = {0: 1, 2: 3, 4: 1, 6: 3}[color]  # drop alpha from stats
     luma = px[:, :, :color_ch].astype(np.float64).mean(axis=2)  # (h, w)
     bands = np.array_split(luma, FEATURE_DIM, axis=0)

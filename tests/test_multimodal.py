@@ -33,10 +33,10 @@ def _chunk(typ: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(px: np.ndarray, filters: list[int]) -> bytes:
-    """Minimal PNG encoder for tests: 8-bit RGB, one filter type per row."""
+def _filter_raw(px: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter an (h, w, 3) image: one filter-type byte + filtered
+    scanline per row (the independent inverse of the decoder's unfilter)."""
     h, w, ch = px.shape
-    assert ch == 3
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.int64)
     for y in range(h):
@@ -64,7 +64,43 @@ def encode_png(px: np.ndarray, filters: list[int]) -> bytes:
         raw.append(f)
         raw += bytes(line.astype(np.uint8))
         prev = cur
+    return bytes(raw)
+
+
+def encode_png(px: np.ndarray, filters: list[int]) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit RGB, one filter type per row."""
+    h, w, ch = px.shape
+    assert ch == 3
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_filter_raw(px, filters)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png_adam7(px: np.ndarray, filters: list[int]) -> bytes:
+    """Adam7-interlaced PNG: seven independently-filtered pass sub-images."""
+    h, w, ch = px.shape
+    assert ch == 3
+    raw = bytearray()
+    for xs, ys, xstep, ystep in _ADAM7:
+        sub = px[ys::ystep, xs::xstep]
+        if sub.shape[0] and sub.shape[1]:
+            raw += _filter_raw(np.ascontiguousarray(sub), filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -188,3 +224,13 @@ def test_media_features_real_and_stub_tiers(spark):
     assert out[5].format == "empty"
     for r in out.values():
         assert len(r.feature) == FEATURE_DIM
+
+
+def test_png_adam7_matches_noninterlaced():
+    # Adam7 and non-interlaced encodings of the SAME pixels must decode to
+    # the same features; odd dims exercise empty/narrow passes
+    for w, h in ((16, 10), (17, 11), (7, 5), (3, 2), (1, 1), (9, 1)):
+        px = _gradient_image(w, h)
+        plain = decode_png(encode_png(px, [0, 1, 2, 3, 4]))
+        inter = decode_png(encode_png_adam7(px, [0, 4, 2, 3, 1]))
+        assert plain == inter, (w, h)
