@@ -191,3 +191,108 @@ def test_fast_scanner_rawtext_and_quoted_attrs():
     for html, expected in cases:
         got = [b.text.strip() for b in parse_blocks(html)]
         assert got == expected, html
+
+
+def _via_std_sig(t: str):
+    from manga_ocr_spark.extraction import dom as D
+
+    p = D._BlockParser()
+    p.feed(t)
+    p.close()
+    return [(b.tag, b.text, b.link_text_len, b.in_boilerplate) for b in p.blocks]
+
+
+def _via_fast_sig(t: str):
+    from manga_ocr_spark.extraction import dom as D
+
+    return [(b.tag, b.text, b.link_text_len, b.in_boilerplate) for b in D.parse_blocks(t)]
+
+
+def test_fast_scanner_matches_stdlib_on_realworld_shapes():
+    # VERDICT r2 item 8: uglier real-world-shaped pages — deep/nested
+    # tables, definition lists, mixed rtl/cjk inline markup — pinned onto
+    # the flat-scanner == html.parser identity
+    deep_table = (
+        "<table><tr><td>lvl0 cell"
+        + "".join(
+            f"<table class='t{i}'><tr><th colspan='2'>head {i}</th></tr>"
+            f"<tr><td>left {i}</td><td><a href='/r{i}'>right {i}</a></td></tr><tr><td>"
+            for i in range(5)
+        )
+        + "core of the onion"
+        + "</td></tr></table>" * 5
+        + "</td></tr></table>"
+    )
+    wide_table = "<table>" + "".join(
+        f"<tr><td>r{r}c0 text</td><td><a href='/{r}'>r{r} link</a></td>"
+        f"<td>r{r}c2 tail</td></tr>"
+        for r in range(40)
+    ) + "</table>"
+    definition_lists = (
+        "<dl><dt>Term One</dt><dd>definition with <a href='/d1'>inline link</a> text</dd>"
+        "<dt>Term&nbsp;Two</dt><dd>second def"
+        "<dl><dt>nested term</dt><dd>nested def body</dd></dl>"
+        "tail after nested</dd></dl><p>after list</p>"
+    )
+    rtl_cjk = (
+        "<p>latin start <span dir='rtl'>مرحبا بالعالم</span> middle "
+        "<bdo dir='rtl'>עברית כאן</bdo> end</p>"
+        "<p><ruby>東京<rt>とうきょう</rt></ruby>は日本の首都です。"
+        "<a href='/jp'>リンク付き文字列</a>と通常の文字。</p>"
+        "<p>mixed عربي and 中文 and English in one run &#x200F;marks&#x200E; too</p>"
+    )
+    forms_misc = (
+        "<form><p>before select</p><select><option>dropped opt 1</option>"
+        "<option selected>dropped opt 2</option></select>"
+        "<textarea rows='2'>free text area content</textarea>"
+        "<p>after <button type='submit'>Go</button> controls</p></form>"
+        "<figure><img src='x.png' alt='alt text dropped'>"
+        "<figcaption>caption text kept</figcaption></figure>"
+    )
+    blockquote_pre = (
+        "<blockquote cite='http://a'><p>quoted one</p>"
+        "<blockquote><p>quoted two deep</p></blockquote></blockquote>"
+        "<pre>   preformatted\n   spacing   preserved?   </pre><p>coda</p>"
+    )
+    for t in (deep_table, wide_table, definition_lists, rtl_cjk, forms_misc, blockquote_pre):
+        assert _via_fast_sig(t) == _via_std_sig(t), t[:80]
+
+
+def test_fast_scanner_matches_stdlib_on_100kb_monster():
+    # a single >100 KB page with heavy inline markup, entities, boilerplate
+    # landmarks and long anchor runs — byte-identical block streams; also a
+    # smoke check that the scanner stays linear on big inputs
+    import random
+    import time
+
+    rng = random.Random(4242)
+    words = ["alpha", "beta&amp;", "gamma", "&#916;elta", "epsilon", "文字", "کلمه"]
+    parts = [
+        "<!DOCTYPE html><html><head><title>drop me</title>"
+        "<style>p{color:red}</style></head><body>"
+        "<nav>" + "".join(f"<a href='/n{i}'>nav item {i}</a> | " for i in range(40)) + "</nav>"
+    ]
+    for i in range(1200):
+        kind = i % 6
+        inner = " ".join(rng.choice(words) for _ in range(12))
+        if kind == 0:
+            parts.append(f"<p>{inner} <em>{inner}</em> <strong>tail {i}</strong></p>")
+        elif kind == 1:
+            parts.append(f"<div><p>{inner}</p><p><a href='/l{i}'>{inner}</a></p></div>")
+        elif kind == 2:
+            parts.append(f"<ul><li>{inner}</li><li><a href='/u{i}'>{inner}</a></li></ul>")
+        elif kind == 3:
+            parts.append(f"<table><tr><td>{inner}</td><td>{inner}</td></tr></table>")
+        elif kind == 4:
+            parts.append(f"<dl><dt>term {i}</dt><dd>{inner}</dd></dl>")
+        else:
+            parts.append(f"<section><h2>head {i}</h2><blockquote>{inner}</blockquote></section>")
+    parts.append("<footer><p>footer legal text</p></footer></body></html>")
+    t = "".join(parts)
+    assert len(t) > 100_000
+    t0 = time.time()
+    fast = _via_fast_sig(t)
+    fast_sec = time.time() - t0
+    assert fast == _via_std_sig(t)
+    assert len(fast) > 2000
+    assert fast_sec < 2.0  # linear-time sanity, generous for a shared host
