@@ -62,6 +62,21 @@ NOTES = {
         "against all queries. The window top-k shuffles only (query_id, "
         "neighbor_id, cos) triples, never vectors."
     ),
+    "window_package_docs": (
+        "Two-phase global ranking (operators/ranking.py): the Window is "
+        "PARTITIONED on the range bucket — no Exchange SinglePartition "
+        "anywhere, which is what an un-partitioned row_number would plan "
+        "(all rows through one task; the classic 100x scale-killer this "
+        "replaced in round 3). The quantile sketch and per-bucket counts "
+        "run as separate map-side-combined jobs before this plan."
+    ),
+    "ann_lsh_topk": (
+        "Multi-table LSH: signatures for all bands come from ONE "
+        "Arrow-batched UDF per side; the band explode is narrow and the "
+        "bucket join is broadcast (query side) — the corpus is never "
+        "shuffled. Only candidate pairs reach the dedup + top-k window "
+        "shuffles; banding keeps that ~bands*N/2^bits per query, never N."
+    ),
     "simhash_candidate_pairs": (
         "Same two-tier shape as MinHash LSH: one Arrow-batched UDF computes "
         "the 64-bit signature map-side; the only shuffle is the (band, "
@@ -101,6 +116,8 @@ def main() -> None:
         "minhash_candidate_pairs": minhash_candidate_pairs(minhash_lsh_buckets(docs)),
         "simhash_candidate_pairs": simhash_candidate_pairs(docs),
         "cosine_topk": cosine_topk(emb.filter("vec_id < 5"), emb),
+        "window_package_docs": E._q_window_package(spark, SF_DIR),
+        "ann_lsh_topk": E._q_ann_lsh(spark, SF_DIR),
     }
 
     out = [
