@@ -622,9 +622,13 @@ def _q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # trim + explicit-class split — token-for-token the oracle's
         # regexp_split_to_array(trim(text), '[\t\n\f\r ]+') on ANY input
-        # (str.split() would also split on \x0B / Unicode whitespace)
+        # (str.split() would also split on \x0B / Unicode whitespace).
+        # NULL text -> None token list (NaN length), matching SQL NULL
+        # propagation: avg() skips it on both sides
         ws = re.compile(r"[\t\n\f\r ]+")
-        toks = pdf["text"].map(lambda t: ws.split(t.strip(" ")))
+        toks = pdf["text"].map(
+            lambda t: ws.split(t.strip(" ")) if isinstance(t, str) else None
+        )
         return pd.DataFrame(
             [
                 {

@@ -162,21 +162,7 @@ def merge_upsert(
 
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
     _commit_staging(spark, staging, table_dir)
-
-    # read-back verification: staging is the only guaranteed-good copy of
-    # the affected buckets until the live table provably holds them
-    staged_n = spark.read.parquet(staging).count()
-    live_n = (
-        spark.read.parquet(table_dir).filter(F.col("bucket").isin(affected)).count()
-    )
-    if staged_n != live_n:
-        raise RuntimeError(
-            f"merge_upsert commit verification failed: staging has {staged_n} rows "
-            f"but the live table's affected buckets hold {live_n}; staging at "
-            f"{staging} is preserved for recovery"
-        )
-    fs, spath = _hadoop_fs(spark, staging)
-    fs.delete(spath, True)
+    _verify_and_drop_staging(spark, staging, table_dir)
     return affected
 
 
@@ -193,26 +179,54 @@ def _commit_staging(spark: SparkSession, staging: str, table_dir: str) -> None:
     )
 
 
+def _verify_and_drop_staging(spark: SparkSession, staging: str, table_dir: str) -> None:
+    """Read-back verification gate: staging is the only guaranteed-good
+    copy of the affected buckets until the live table provably holds them
+    (row count of the staged buckets matches), so staging is deleted ONLY
+    after the check passes — on mismatch it raises and staging survives
+    for the next recovery attempt. Shared by the merge commit and by
+    :func:`recover_staging` (an unverified recovery that deleted staging
+    would turn a loud commit failure into silent row loss)."""
+    staged = spark.read.parquet(staging)
+    buckets = [r.bucket for r in staged.select("bucket").distinct().collect()]
+    staged_n = staged.count()
+    live_n = spark.read.parquet(table_dir).filter(F.col("bucket").isin(buckets)).count()
+    if staged_n != live_n:
+        raise RuntimeError(
+            f"merge_upsert commit verification failed: staging has {staged_n} rows "
+            f"but the live table's affected buckets hold {live_n}; staging at "
+            f"{staging} is preserved for recovery"
+        )
+    fs, spath = _hadoop_fs(spark, staging)
+    fs.delete(spath, True)
+
+
 def recover_staging(spark: SparkSession, table_dir: str, staging: str | None = None) -> bool:
     """Restore an interrupted :func:`merge_upsert` commit, if any.
 
     Returns True when a completed staging dir was found and re-committed
-    into the table. Safe to call any time (merge_upsert calls it on every
-    entry); a crash DURING recovery just leaves staging in place for the
-    next attempt.
+    into the table. Safe to call any time — merge_upsert calls it on every
+    entry, and run_upsert_stream calls it BEFORE its table-existence probe
+    (a mid-commit crash can leave the table empty/unreadable; without
+    recovery-first, the replayed batch would take the bootstrap branch,
+    overwrite the table with one batch's rows, and a later merge would
+    then commit the stale staging over it). A crash DURING recovery just
+    leaves staging in place for the next attempt; the staging delete is
+    gated on the same read-back verification as a live commit.
     """
     staging = staging or f"{table_dir}__staging_merge"
     fs, spath = _hadoop_fs(spark, staging)
     if not fs.exists(spath):
         return False
     success = spark._jvm.org.apache.hadoop.fs.Path(f"{staging}/_SUCCESS")
-    committed = False
     if fs.exists(success):
         # the previous merge finished writing staging but may have died
         # mid-commit; re-committing is idempotent and restores any bucket
-        # the crash half-deleted
+        # the crash half-deleted. Staging is deleted only after the
+        # committed rows verifiably landed.
         _commit_staging(spark, staging, table_dir)
-        committed = True
+        _verify_and_drop_staging(spark, staging, table_dir)
+        return True
     # incomplete staging (no _SUCCESS): the table was never touched
     fs.delete(spath, True)
-    return committed
+    return False

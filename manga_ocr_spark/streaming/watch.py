@@ -86,13 +86,24 @@ def run_upsert_stream(
     """
     from pyspark.sql import functions as F
 
-    from manga_ocr_spark.jobs.upsert import merge_upsert, reduce_latest, table_exists
+    from manga_ocr_spark.jobs.upsert import (
+        merge_upsert,
+        recover_staging,
+        reduce_latest,
+        table_exists,
+    )
 
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     table = f"{output_dir}/extracted"
 
     def _process(batch_df, batch_id: int) -> None:
         extracted = extract_pages(batch_df).drop("ok", "bytes_in")
+        # recovery BEFORE the existence probe: a crash mid-commit can leave
+        # the table empty/unreadable while the complete staging dir holds
+        # the only good copy — probing first would route this replay into
+        # the bootstrap overwrite (dropping every prior key) and leave the
+        # stale staging to clobber the fresh table on the NEXT merge
+        recover_staging(spark, table)
         if not table_exists(spark, table):
             deduped = reduce_latest(extracted, ["url"], "warc_ts")
             bucketed = deduped.withColumn(

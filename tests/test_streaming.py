@@ -157,3 +157,61 @@ def test_stateful_host_counters_accumulate_across_restarts(spark, tmp_path):
     q2 = run_host_stats(spark, indir, ckpt, outdir)
     q2.awaitTermination(120)
     assert latest(outdir)["a.com"] == (5, 50)  # 3+2 pages, 30+20 bytes
+
+
+def test_upsert_stream_recovers_before_bootstrap_probe(spark, tmp_path):
+    # self-review r3 finding: a mid-commit crash can leave the TABLE
+    # empty/unreadable while the complete staging dir holds the only good
+    # copy. The replayed batch must recover from staging FIRST — probing
+    # existence first would route into the bootstrap overwrite (dropping
+    # every prior key) and leave stale staging to clobber the next merge.
+    import datetime as dt
+    import shutil
+
+    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
+    from manga_ocr_spark.streaming.watch import run_upsert_stream
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 3, 1)
+
+    def page(i: int, body: str, t=ts):
+        return (
+            f"https://x/{i}",
+            t,
+            f"<html><body><p>{body}</p></body></html>".encode(),
+            "t",
+            "en",
+        )
+
+    spark.createDataFrame(
+        [page(i, f"original body {i}") for i in range(10)], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(indir)
+    q = run_upsert_stream(spark, indir, outdir, ckpt, num_buckets=4)
+    q.awaitTermination(120)
+    table = f"{outdir}/extracted"
+    assert spark.read.parquet(table).count() == 10
+
+    # simulate the crash window: the completed merge staging survives
+    # (full copy of every bucket) while the table itself was wiped by the
+    # interrupted dynamic-partition commit
+    staging = f"{table}__staging_merge"
+    shutil.copytree(table, staging)
+    assert any(p.name == "_SUCCESS" for p in (tmp_path / "out" / "extracted").iterdir())
+    shutil.rmtree(table)
+
+    # next batch arrives and the stream replays/continues
+    spark.createDataFrame(
+        [page(3, "REVISED after crash", dt.datetime(2024, 3, 2))], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(indir)
+    q2 = run_upsert_stream(spark, indir, outdir, ckpt, num_buckets=4)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(table)
+    assert out.count() == 10  # every pre-crash key restored from staging
+    assert "REVISED" in out.filter("url = 'https://x/3'").collect()[0].extracted_text
+    assert out.filter("url = 'https://x/7'").count() == 1  # untouched key survived
+    import os
+
+    assert not os.path.exists(staging)

@@ -208,3 +208,33 @@ def test_merge_ignores_incomplete_staging(spark, tmp_path):
     out = {r.url: r.text for r in spark.read.parquet(path).collect()}
     assert len(out) == 10 and out["u1"] == "NEW1" and out["u0"] == "old0"
     assert not os.path.exists(staging)
+
+
+def test_recover_staging_preserves_staging_on_failed_verification(
+    spark, tmp_path, monkeypatch
+):
+    # self-review r3 finding: recovery must keep the staging dir (the only
+    # guaranteed-good copy) when its re-commit does not verifiably land —
+    # an unverified delete turns a loud commit failure into silent loss
+    import shutil
+
+    import pytest
+
+    from manga_ocr_spark.jobs import upsert as U
+
+    path = str(tmp_path / "tbl")
+    _write_table(spark, path, [Row(url=f"u{i}", text=f"old{i}") for i in range(20)])
+    staging = f"{path}__staging_merge"
+    shutil.copytree(path, staging)  # complete staging (has _SUCCESS)
+
+    monkeypatch.setattr(U, "_commit_staging", lambda *a, **k: None)  # commit lost
+    shutil.rmtree(path)  # table gone: re-commit (a no-op here) cannot land
+    with pytest.raises(Exception):
+        U.recover_staging(spark, path)
+    assert os.path.exists(staging)  # preserved for the next attempt
+
+    # with the real commit back, the same recovery completes and cleans up
+    monkeypatch.undo()
+    assert U.recover_staging(spark, path) is True
+    assert not os.path.exists(staging)
+    assert spark.read.parquet(path).count() == 20
