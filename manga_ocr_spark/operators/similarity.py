@@ -295,15 +295,17 @@ def lsh_bucket_topk(
     pairs = csig.join(F.broadcast(qsig), ["band", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    # dedup BEFORE scoring: a pair colliding in m bands would otherwise be
-    # cosine-scored m times
-    cand = pairs.select("query_id", "neighbor_id", "qv", "cv").dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
-    scored = cand.select(
+    # score BEFORE the dedup shuffle: a pair colliding in m bands is
+    # cosine-scored m times (m is small — the collision count), but the
+    # dedup then shuffles only (query_id, neighbor_id, cos) triples
+    # instead of the two 64-double vectors per row (~40x fewer shuffle
+    # bytes). The map-side partial aggregation combines same-partition
+    # duplicates before they even leave the mapper.
+    scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
+    dedup = scored.groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return dedup.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

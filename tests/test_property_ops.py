@@ -105,3 +105,33 @@ def test_dup_clusters_equals_union_find_on_random_graphs(spark):
             return {n: min(ns) for lbl, ns in comp.items() for n in ns}
 
         assert canon(got) == canon(want), f"trial {trial}"
+
+
+def test_global_row_number_equals_sorted_enumeration_on_random_inputs(spark):
+    # two-phase ranking vs the obvious driver-side sorted enumeration on
+    # randomized key distributions (clustered, uniform, heavy outliers)
+    import random
+
+    from manga_ocr_spark.operators.ranking import global_row_number
+
+    rng = random.Random(20250816)
+    for trial in range(3):
+        n = rng.randint(1, 400)
+        style = trial % 3
+        if style == 0:
+            keys = rng.sample(range(10**6), n)  # uniform sparse
+        elif style == 1:
+            base = rng.randrange(1000)
+            keys = rng.sample(range(base, base + n * 2), n)  # dense cluster
+        else:
+            keys = rng.sample(range(100), min(n, 100)) + [
+                rng.randrange(2**50) for _ in range(n // 3)
+            ]
+            keys = list(dict.fromkeys(keys))  # dense + huge outliers
+        df = spark.createDataFrame(
+            [Row(k=int(k)) for k in keys]
+        ).repartition(rng.randint(1, 9))
+        nb = rng.choice([2, 8, 64])
+        got = {r.k: r.rn for r in global_row_number(df, "k", num_buckets=nb).collect()}
+        want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+        assert got == want, f"trial {trial} buckets {nb} n {len(keys)}"
