@@ -1,0 +1,156 @@
+"""WARC source (sources/warc.py): synthetic ISO-28500 archives — built
+record-by-record by an independent writer here — through the binaryFile +
+mapInArrow explode into PAGES_SCHEMA, and on through the extraction
+engine end-to-end. Covers per-record gzip members (the Common-Crawl
+layout), plain uncompressed WARC, skipped record types, WET-style
+conversion records, and truncated tails."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from manga_ocr_spark.sources.warc import (
+    _parse_warc_date,
+    iter_warc_records,
+    pages_from_warc,
+    warc_pages,
+)
+
+
+def _record(rtype: str, url: str | None, content: bytes, ctype: str | None = None) -> bytes:
+    lines = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+    if url:
+        lines.append(b"WARC-Target-URI: " + url.encode())
+    lines.append(b"WARC-Date: 2024-03-01T12:00:00Z")
+    if ctype:
+        lines.append(b"Content-Type: " + ctype.encode())
+    lines.append(b"Content-Length: " + str(len(content)).encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + content + b"\r\n\r\n"
+
+
+def _http_response(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Server: test\r\n\r\n" + body
+    )
+
+
+def _sample_records(n_pages: int = 5) -> list[bytes]:
+    recs = [_record("warcinfo", None, b"software: test-writer", "application/warc-fields")]
+    for i in range(n_pages):
+        html = f"<html><body><p>page body number {i} with real words</p></body></html>".encode()
+        recs.append(
+            _record(
+                "request",
+                f"https://w/{i}",
+                b"GET / HTTP/1.1\r\nHost: w\r\n\r\n",
+                "application/http; msgtype=request",
+            )
+        )
+        recs.append(
+            _record(
+                "response",
+                f"https://w/{i}",
+                _http_response(html),
+                "application/http; msgtype=response",
+            )
+        )
+    recs.append(
+        _record("conversion", "https://w/wet0", b"plain wet text content", "text/plain")
+    )
+    return recs
+
+
+def test_iter_warc_records_plain_and_gzip_members():
+    recs = _sample_records(3)
+    plain = b"".join(recs)
+    # Common-Crawl layout: one gzip member PER RECORD, concatenated
+    gz = b"".join(gzip.compress(r) for r in recs)
+    for data in (plain, gz):
+        parsed = list(iter_warc_records(data))
+        assert len(parsed) == len(recs)
+        assert parsed[0][0]["warc-type"] == "warcinfo"
+        assert parsed[0][0]["warc-version"] == "WARC/1.0"
+
+
+def test_warc_pages_filters_and_bodies():
+    data = b"".join(_sample_records(4))
+    pages = list(warc_pages(data))
+    # 4 responses + 1 conversion; requests/warcinfo skipped
+    assert len(pages) == 5
+    urls = [u for u, _, _ in pages]
+    assert urls[:4] == [f"https://w/{i}" for i in range(4)]
+    assert urls[4] == "https://w/wet0"
+    # HTTP headers stripped from response bodies
+    assert pages[0][2].startswith(b"<html>")
+    assert pages[4][2] == b"plain wet text content"
+    assert all(ts is not None and ts.year == 2024 for _, ts, _ in pages)
+
+
+def test_warc_truncated_tail_parses_prefix():
+    recs = _sample_records(3)
+    data = b"".join(recs)
+    cut = data[: len(data) - len(recs[-1]) // 2]  # chop mid-final-record
+    parsed = list(iter_warc_records(cut))
+    assert len(parsed) == len(recs) - 1  # everything before the break
+
+
+def test_parse_warc_date_variants():
+    assert _parse_warc_date("2024-03-01T12:00:00Z").hour == 12
+    assert _parse_warc_date("2024-03-01T12:00:00.123Z").second == 0
+    assert _parse_warc_date("garbage") is None
+
+
+def test_pages_from_warc_end_to_end_extraction(spark, tmp_path):
+    # two .warc.gz segment files -> binaryFile tasks -> PAGES_SCHEMA ->
+    # the full extraction engine; every page lands with its url and a
+    # non-empty extracted text
+    from manga_ocr_spark.jobs.extract import extract_pages
+
+    seg = tmp_path / "segments"
+    seg.mkdir()
+    for f in range(2):
+        recs = []
+        for i in range(6):
+            body = (
+                f"<html><body><nav><a href='/x'>boiler</a></nav>"
+                f"<main><p>segment {f} page {i} content words here</p></main>"
+                f"</body></html>"
+            ).encode()
+            recs.append(
+                _record(
+                    "response",
+                    f"https://seg{f}.example/{i}",
+                    _http_response(body),
+                    "application/http; msgtype=response",
+                )
+            )
+        (seg / f"part-{f}.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    pages = pages_from_warc(spark, str(seg), lang="en")
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    out = extract_pages(pages).collect()
+    assert len(out) == 12
+    by_url = {r.url: r for r in out}
+    assert "segment 1 page 4 content words here" in by_url["https://seg1.example/4"].extracted_text
+    assert all(r.warc_ts is not None for r in out)
+    assert all(r.lang == "en" for r in out)
+
+
+def test_pages_from_warc_one_task_per_file(spark, tmp_path):
+    # the documented parallelism contract: binaryFile = one task per file
+    seg = tmp_path / "segs2"
+    seg.mkdir()
+    for f in range(3):
+        rec = _record(
+            "response",
+            f"https://p/{f}",
+            _http_response(b"<p>x words</p>"),
+            "application/http",
+        )
+        (seg / f"p{f}.warc.gz").write_bytes(gzip.compress(rec))
+    df = pages_from_warc(spark, str(seg))
+    assert df.rdd.getNumPartitions() >= 1
+    assert df.count() == 3
