@@ -9,8 +9,8 @@ into page rows as the ingest step. This source does that Spark-natively:
   gzip is not block-splittable without an external index, and one-task-
   per-file is exactly how production CC pipelines parallelize (a crawl
   is ~64k segment files of ~1 GB; the file *count* provides the
-  parallelism, not intra-file splits). A ``.warc.wet/.idx`` offset-index
-  reader would add intra-file splits; out of scope here.
+  parallelism, not intra-file splits). For intra-file splits, use
+  :func:`pages_from_warc_ranges` with a CDX-style offset index.
 - record parsing runs in an Arrow-batched ``mapInArrow`` (no per-row
   Python from Spark's perspective; the record walk itself is a linear
   scan over the decompressed buffer).
@@ -195,3 +195,68 @@ def pages_from_warc(spark: SparkSession, path: str, lang: str | None = None) -> 
             )
 
     return files.mapInArrow(explode, PAGES_SCHEMA)
+
+
+def pages_from_warc_ranges(
+    spark: SparkSession, index: DataFrame, lang: str | None = None
+) -> DataFrame:
+    """Indexed WARC reads: intra-file parallelism from a CDX-style offset
+    index — the actual Common-Crawl scale path (the crawl publishes
+    ``cluster.idx``/CDX files with per-record ``(file, offset, length)``).
+
+    ``index`` columns: ``path`` (string), ``offset`` (long), ``length``
+    (long). Each row is one independent read: because `.warc.gz` stores
+    every record as its OWN gzip member, any member-aligned byte range
+    decompresses standalone — this is what makes a 1 GB segment file
+    splittable across tasks, where :func:`pages_from_warc` is limited to
+    one task per file. Ranges may span several records (CDX "blocks").
+
+    The range read goes through ``pyarrow.fs`` resolved per worker from
+    the path, so local paths and any pyarrow-supported DFS (HDFS, S3)
+    work unchanged. Partition the index (``index.repartition(n)``) to set
+    the task granularity; a production job sorts ranges by (path, offset)
+    within partitions so each task reads roughly-sequential byte spans.
+    """
+    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
+
+    def read_ranges(batches):
+        import pyarrow as pa
+        from pyarrow import fs as pafs
+
+        filesystems: dict[str, object] = {}  # per-scheme cache, worker-lifetime
+        for batch in batches:
+            urls: list[str] = []
+            tss: list[dt.datetime | None] = []
+            htmls: list[bytes] = []
+            for path, offset, length in zip(
+                batch.column("path").to_pylist(),
+                batch.column("offset").to_pylist(),
+                batch.column("length").to_pylist(),
+            ):
+                scheme = path.split("://", 1)[0] if "://" in path else "file"
+                filesystem = filesystems.get(scheme)
+                if filesystem is None:
+                    filesystem, _ = pafs.FileSystem.from_uri(
+                        path if "://" in path else f"file://{path}"
+                    )
+                    filesystems[scheme] = filesystem
+                resolved = path.split("://", 1)[1] if "://" in path else path
+                with filesystem.open_input_file(resolved) as f:
+                    f.seek(offset)
+                    buf = f.read(length)
+                for url, ts, html in warc_pages(buf):
+                    urls.append(url)
+                    tss.append(ts)
+                    htmls.append(html)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us")),
+                    pa.array(htmls, pa.binary()),
+                    pa.array([None] * len(urls), pa.string()),
+                    pa.array([lang] * len(urls), pa.string()),
+                ],
+                names=[f.name for f in PAGES_SCHEMA.fields],
+            )
+
+    return index.select("path", "offset", "length").mapInArrow(read_ranges, PAGES_SCHEMA)

@@ -154,3 +154,45 @@ def test_pages_from_warc_one_task_per_file(spark, tmp_path):
     df = pages_from_warc(spark, str(seg))
     assert df.rdd.getNumPartitions() >= 1
     assert df.count() == 3
+
+
+def test_pages_from_warc_ranges_indexed_reads(spark, tmp_path):
+    # the CDX-style scale path: member-aligned byte ranges of ONE segment
+    # file read independently (intra-file parallelism); the union over
+    # index rows must equal the whole-file read, and a partial index must
+    # read only its pages
+    from manga_ocr_spark.sources.warc import pages_from_warc_ranges
+
+    seg = tmp_path / "idx"
+    seg.mkdir()
+    path = str(seg / "big.warc.gz")
+    offsets = []
+    blob = bytearray()
+    for i in range(10):
+        rec = _record(
+            "response",
+            f"https://idx/{i}",
+            _http_response(f"<p>indexed page {i} words</p>".encode()),
+            "application/http; msgtype=response",
+        )
+        member = gzip.compress(rec)
+        offsets.append((len(blob), len(member)))
+        blob += member
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+
+    # 3 ranges: records [0,3), [3,4), [4,10) — spans of whole members
+    def rng(a, b):
+        start = offsets[a][0]
+        end = offsets[b - 1][0] + offsets[b - 1][1]
+        return (path, start, end - start)
+
+    full_index = spark.createDataFrame(
+        [rng(0, 3), rng(3, 4), rng(4, 10)], "path string, offset long, length long"
+    ).repartition(3)
+    out = pages_from_warc_ranges(spark, full_index).collect()
+    assert sorted(r.url for r in out) == sorted(f"https://idx/{i}" for i in range(10))
+
+    partial = spark.createDataFrame([rng(3, 4)], "path string, offset long, length long")
+    only = pages_from_warc_ranges(spark, partial, lang="en").collect()
+    assert [r.url for r in only] == ["https://idx/3"] and only[0].lang == "en"
