@@ -311,10 +311,12 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text-analysis panel: token count, stopword/alpha ratios,
-    mean token length, the composite quality score, and the marker-word
-    language id — the full filter-stage feature vector in one pass."""
+    mean token length, the composite quality score, the marker-word
+    language id, and the Gopher-style repetition signals (most-frequent
+    unigram/bigram occupancy — Rae et al. 2021's repetition filters) —
+    the full filter-stage feature vector in one query."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    panel = d.select(
         "doc_id",
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
         T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
@@ -323,6 +325,7 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(F.col("text")).alias("quality"),
         T.lang_id(F.col("text")).alias("lang_pred"),
     )
+    return panel.join(T.repetition_stats(d), "doc_id")
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1208,7 +1211,28 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
                      as total_bpe_tokens
             from documents group by lang""",
         "quality_scores": f"""
-            select doc_id,
+            with rep_uni as (
+              select doc_id, round(max(c)::double / sum(c), 6) as top_unigram_frac
+              from (
+                select doc_id, tok, count(*) as c
+                from (select doc_id,
+                             unnest(list_filter({toks}, t -> length(t) > 0)) as tok
+                      from documents)
+                group by doc_id, tok
+              ) group by doc_id
+            ), rep_bi as (
+              select doc_id, round(max(c)::double / sum(c), 6) as top_bigram_frac
+              from (
+                select doc_id, bg, count(*) as c
+                from (select doc_id,
+                             unnest(list_transform(
+                               range(1, greatest(len({toks}) - 1, 0) + 1),
+                               i -> {toks}[i::int] || ' ' || {toks}[(i+1)::int])) as bg
+                      from documents)
+                group by doc_id, bg
+              ) group by doc_id
+            )
+            select d.doc_id,
                    len({toks})::bigint as n_tokens,
                    round(len(list_filter({toks}, t -> t in ({stop_list})))::double
                          / greatest(len({toks}), 1), 6) as stopword_ratio,
@@ -1222,8 +1246,12 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
                        + 0.3 * round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::double
                                      / greatest(length(text), 1), 6),
                          6) as quality,
-                   {lang_case} as lang_pred
-            from documents""",
+                   {lang_case} as lang_pred,
+                   coalesce(u.top_unigram_frac, 0.0) as top_unigram_frac,
+                   coalesce(b.top_bigram_frac, 0.0) as top_bigram_frac
+            from documents d
+            left join rep_uni u using (doc_id)
+            left join rep_bi b using (doc_id)""",
         "doc_fingerprints": f"""
             with h as (select doc_id, text, substr(text, 1, 64) as s from documents)
             select doc_id, {_FP_SQL} as fingerprint,

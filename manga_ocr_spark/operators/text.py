@@ -129,3 +129,51 @@ def fingerprint(col: Column) -> Column:
     DuckDB oracle) agree on every input — Java \\s also matches \\x0B."""
     canon = F.regexp_replace(F.lower(F.trim(col)), "[\t\n\f\r ]+", " ")
     return F.md5(F.encode(canon, "UTF-8"))
+
+
+def word_bigrams(col: Column) -> Column:
+    """Adjacent word 2-grams as 'a b' strings (empty array below 2
+    tokens). zip_with over two shifted slices — pure expression."""
+    toks = tokens(col)
+    n = F.size(toks)
+    left = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    right = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    return F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    public): fraction of tokens taken by the most frequent token
+    (``top_unigram_frac``) and fraction of word 2-grams taken by the most
+    frequent 2-gram (``top_bigram_frac``). High values mark the
+    boilerplate/spam/keyword-stuffing pages a training-data pipeline
+    drops.
+
+    Shape: explode -> count -> per-doc max — O(n log n) with ordinary
+    shuffles, NOT the per-doc quadratic ``transform(distinct, count)``
+    expression form, which would blow up on the 2 MB pages the ingest cap
+    allows. Output: (id, top_unigram_frac, top_bigram_frac), 0.0 for
+    docs too short to have the n-gram (matching SQL's no-rows -> NULL ->
+    coalesce(0)).
+    """
+
+    def top_frac(grams_col: Column, out_name: str):
+        g = df.select(F.col(id_col).alias("id"), F.explode(grams_col).alias("g"))
+        counts = g.groupBy("id", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("id").agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias(out_name)
+        )
+
+    text = F.trim(F.col(text_col))
+    uni = top_frac(F.filter(tokens(text), lambda t: F.length(t) > 0), "top_unigram_frac")
+    bi = top_frac(word_bigrams(text), "top_bigram_frac")
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(uni, "id", "left")
+        .join(bi, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("top_unigram_frac", F.lit(0.0)).alias("top_unigram_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

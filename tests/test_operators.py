@@ -400,3 +400,26 @@ def test_lsh_multiband_candidates_superset_single_band(spark):
     }
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_repetition_stats_handcomputed(spark):
+    # Gopher-style repetition fractions vs hand-computed values, including
+    # the degenerate shapes (single token, empty text, total repetition)
+    texts = {
+        0: "a b a b a c",        # uni: a x3 /6; bi: 'a b' x2 /5
+        1: "word",               # single token: uni 1.0, bi 0.0
+        2: "",                   # empty: both 0.0
+        3: "x x x x",            # total repetition: uni 1.0, bi 1.0
+        4: "u v w x y z",        # all distinct: uni 1/6, bi 1/5
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+    assert out[0].top_unigram_frac == round(3 / 6, 6)
+    assert out[0].top_bigram_frac == round(2 / 5, 6)
+    assert out[1].top_unigram_frac == 1.0 and out[1].top_bigram_frac == 0.0
+    assert out[2].top_unigram_frac == 0.0 and out[2].top_bigram_frac == 0.0
+    assert out[3].top_unigram_frac == 1.0 and out[3].top_bigram_frac == 1.0
+    assert out[4].top_unigram_frac == round(1 / 6, 6)
+    assert out[4].top_bigram_frac == round(1 / 5, 6)
