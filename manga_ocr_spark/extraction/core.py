@@ -35,8 +35,12 @@ class ExtractResult:
 
 
 def extract(payload: bytes | bytearray | None, max_bytes: int = MAX_HTML_BYTES) -> ExtractResult:
-    """Extract main content from one html payload. Never raises."""
+    """Extract main content from one payload (HTML, or PDF by magic
+    bytes — the north rule's "HTML boilerplate strip, PDF/layout parse"
+    pipeline family dispatches here). Never raises."""
     try:
+        if payload is not None and bytes(payload[:5]) == b"%PDF-":
+            return _extract_pdf(bytes(payload), max_bytes)
         html_text = decode_html(payload, max_bytes=max_bytes)
         if not html_text:
             return ExtractResult(None, 0, 0, [])
@@ -50,3 +54,35 @@ def extract(payload: bytes | bytearray | None, max_bytes: int = MAX_HTML_BYTES) 
     except Exception:
         # absolute backstop — a single bad row must never kill a Spark task
         return ExtractResult(None, 0, 0, [])
+
+
+def _extract_pdf(payload: bytes, max_bytes: int) -> ExtractResult:
+    """PDF tier: extraction/pdf.py text lines -> the SAME byte-stable
+    normalization + newline join as HTML blocks. PDFs are NOT truncated
+    to max_bytes (a truncated PDF loses its object structure entirely,
+    unlike HTML's prefix-parsable stream); oversized payloads fail to the
+    None tier instead."""
+    from manga_ocr_spark.extraction.normalize import normalize_block
+    from manga_ocr_spark.extraction.pdf import extract_pdf_lines
+
+    if len(payload) > max_bytes:
+        return ExtractResult(None, 0, 0, [])
+    lines = extract_pdf_lines(payload)
+    if not lines:
+        return ExtractResult(None, 0, 0, [])
+    normed = [normalize_block(ln) for ln in lines]
+    blocks = [
+        Block(
+            block_id=i,
+            tag="pdf",
+            depth=0,
+            text=t,
+            text_len=len(t.replace(" ", "")),
+            link_text_len=0,
+            in_boilerplate=False,
+        )
+        for i, t in enumerate(normed)
+        if t
+    ]
+    text = join_blocks([b.text for b in blocks])
+    return ExtractResult(text if text else None, len(blocks), 0, blocks)

@@ -1,0 +1,677 @@
+"""PDF text extraction (ISO 32000, public spec) — stdlib + regex only.
+
+The north-rule pipeline family is "HTML boilerplate strip, PDF/layout
+parse, DOM heuristics"; this is the PDF tier. Like the JPEG decoder
+(operators/jpeg.py) it is the dependency-free correctness tier: a
+production deployment would ride pdfium/poppler through the identical
+Spark plumbing (the dispatch in extraction/core.py is the only seam).
+
+Scope:
+
+- **object model**: full COS syntax — dictionaries, arrays, names (with
+  ``#xx`` escapes), literal strings (nested parens, backslash escapes,
+  octal), hex strings, numbers, booleans, null, indirect references,
+  streams.
+- **file walk**: the robust-scan strategy real-world extractors use —
+  every ``N G obj`` in the file is parsed directly and the cross-
+  reference table is IGNORED (broken/absent xrefs are endemic in crawl
+  PDFs; the scan also covers incremental updates by letting later
+  definitions of an object number win). Compressed object streams
+  (``/Type /ObjStm``) are unpacked the same way; their entries only fill
+  object numbers not seen as direct objects.
+- **filters**: FlateDecode (with PNG predictors 10-15 — ``/Columns``,
+  8-bit, 1 color), ASCIIHexDecode, ASCII85Decode, chained filter arrays.
+  LZW and the image-only filters are not decoded (their streams are
+  simply skipped — they never carry content text in practice).
+- **pages**: catalog -> ``/Pages`` tree walk for true page order, falling
+  back to document order of ``/Type /Page`` objects.
+- **text**: a content-stream interpreter for the text operators: BT/ET,
+  Tf (font switch), Td/TD/T*/Tm (line breaks), Tj/'/"/TJ (shows; TJ
+  kerning gaps below ``TJ_SPACE_GAP`` insert a space). Inline images
+  (BI..ID..EI) are skipped byte-exactly.
+- **encodings**: per-font ``/ToUnicode`` CMaps (codespacerange for the
+  code width, bfchar + bfrange incl. array destinations); simple fonts
+  without a CMap decode as Latin-1 (exact for the Standard-14 ASCII
+  range); composite fonts without a CMap yield nothing rather than
+  mojibake.
+
+Never raises from :func:`extract_pdf_lines` — hostile input returns None
+(the caller's stub/failure tier), same contract as extraction/core.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+# TJ displacement (thousandths of text-space units) below which a gap is
+# rendered as a word space; -180 is the conventional extractor threshold
+TJ_SPACE_GAP = -180
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+    def __repr__(self) -> str:  # pragma: no cover - debug only
+        return f"_Ref({self.num})"
+
+
+class _Stream:
+    __slots__ = ("d", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.d = d
+        self.raw = raw
+
+
+class _Name(str):
+    """A /Name — distinct from a text string for dict keys/operands."""
+
+
+class _Str(bytes):
+    """A PDF string value — distinct from operator keywords, which the
+    lexer returns as plain ``bytes``."""
+
+
+class _Lexer:
+    """COS tokenizer over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        p = self.pos
+        while p < n:
+            c = d[p]
+            if c in _WS:
+                p += 1
+            elif c == 0x25:  # % comment to EOL
+                while p < n and d[p] not in (0x0A, 0x0D):
+                    p += 1
+            else:
+                break
+        self.pos = p
+
+    def peek_bytes(self, k: int) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos : self.pos + k]
+
+    def _regular_run(self) -> bytes:
+        d, n = self.data, len(self.data)
+        p0 = p = self.pos
+        while p < n and d[p] not in _WS and d[p] not in _DELIM:
+            p += 1
+        self.pos = p
+        return d[p0:p]
+
+    def next_token(self):
+        """One token: value object, _Name, operator bytes, or None at EOF.
+        Numbers look ahead for `gen R` to form _Ref."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        p = self.pos
+        if p >= n:
+            return None
+        c = d[p]
+        if c == 0x2F:  # /Name
+            self.pos = p + 1
+            raw = self._regular_run()
+            if b"#" in raw:
+                raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+            return _Name(raw.decode("latin-1"))
+        if c == 0x28:  # ( literal string
+            return self._lit_string()
+        if c == 0x3C:  # < hex string or << dict
+            if d[p : p + 2] == b"<<":
+                return self._dict()
+            return self._hex_string()
+        if c == 0x5B:  # [ array
+            self.pos = p + 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.pos < n and d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return arr
+                tok = self.next_token()
+                if tok is None:
+                    return arr
+                arr.append(tok)
+        if c == 0x5D:  # stray ] (array close handled above)
+            self.pos = p + 1
+            return self.next_token()
+        if c in b"+-.0123456789":
+            raw = self._regular_run()
+            try:
+                num = int(raw)
+            except ValueError:
+                try:
+                    num = float(raw)
+                except ValueError:
+                    return b"?"
+                return num
+            # lookahead: `num gen R` -> reference
+            save = self.pos
+            self._skip_ws()
+            m = re.match(rb"(\d+)\s+R(?![A-Za-z0-9])", self.data[self.pos : self.pos + 32])
+            if m and isinstance(num, int):
+                self.pos += m.end()
+                return _Ref(num)
+            self.pos = save
+            return num
+        # keyword / operator
+        raw = self._regular_run()
+        if not raw:  # lone delimiter (e.g. { } in type-4 functions)
+            self.pos += 1
+            return self.next_token()
+        if raw == b"true":
+            return True
+        if raw == b"false":
+            return False
+        if raw == b"null":
+            # a _Name token, not Python None — None is the EOF sentinel
+            return _Name("null")
+        return raw  # operator / obj / endobj / stream keywords
+
+    def _lit_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        p = self.pos + 1
+        out = bytearray()
+        depth = 1
+        while p < n:
+            c = d[p]
+            if c == 0x5C:  # backslash
+                p += 1
+                if p >= n:
+                    break
+                e = d[p]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    p += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    p += 1
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    oct_digits = bytearray([e])
+                    p += 1
+                    while p < n and len(oct_digits) < 3 and 0x30 <= d[p] <= 0x37:
+                        oct_digits.append(d[p])
+                        p += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    p += 1
+                    if e == 0x0D and p < n and d[p] == 0x0A:
+                        p += 1
+                else:
+                    out.append(e)
+                    p += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                p += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    p += 1
+                    break
+                out.append(c)
+                p += 1
+            else:
+                out.append(c)
+                p += 1
+        self.pos = p
+        return _Str(out)
+
+    def _hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos + 1)
+        if end == -1:
+            end = len(self.data)
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos + 1 : end])
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return _Str(bytes.fromhex(hx.decode("ascii")))
+
+    def _dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        d, n = self.data, len(self.data)
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            if self.pos >= n:
+                return out
+            key = self.next_token()
+            if not isinstance(key, _Name):
+                if key is None:
+                    return out
+                continue  # malformed: resync on next name
+            val = self.next_token()
+            out[str(key)] = val
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """PNG predictors over 8-bit single-component rows (the form xref/
+    flate DecodeParms use). Row tags 0-4 like PNG scanlines."""
+    row_len = columns
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data):
+        tag = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if tag == 1:
+            for i in range(1, row_len):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif tag == 2:
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:
+            for i in range(row_len):
+                a = row[i - 1] if i else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:
+            for i in range(row_len):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _ascii85(data: bytes) -> bytes:
+    import base64
+
+    data = data.split(b"~>")[0]
+    data = re.sub(rb"\s", b"", data)
+    return base64.a85decode(data)
+
+
+def _decode_stream(s: _Stream, resolve) -> bytes | None:
+    filters = resolve(s.d.get("Filter"))
+    parms = resolve(s.d.get("DecodeParms"))
+    if filters is None:
+        return s.raw
+    if not isinstance(filters, list):
+        filters = [filters]
+        parms = [parms]
+    elif not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = s.raw
+    for f, pm in zip(filters, parms):
+        f = str(f)
+        if f == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                try:
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    return None
+        elif f == "ASCIIHexDecode":
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("ascii"))
+        elif f == "ASCII85Decode":
+            try:
+                data = _ascii85(data)
+            except Exception:
+                return None
+        else:
+            return None  # LZW / image filters: not text-bearing
+        pm = resolve(pm)
+        if isinstance(pm, dict):
+            pred = resolve(pm.get("Predictor", 1))
+            if isinstance(pred, int) and pred >= 10:
+                cols = resolve(pm.get("Columns", 1)) or 1
+                data = _png_unpredict(data, int(cols))
+    return data
+
+
+class _Pdf:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self._scan_objects()
+        self._unpack_objstms()
+
+    # -- object table -------------------------------------------------------
+    def _scan_objects(self) -> None:
+        for m in _OBJ_RE.finditer(self.data):
+            num = int(m.group(1))
+            lex = _Lexer(self.data, m.end())
+            try:
+                val = lex.next_token()
+            except Exception:
+                continue
+            # stream?
+            lex._skip_ws()
+            if isinstance(val, dict) and self.data.startswith(b"stream", lex.pos):
+                p = lex.pos + 6
+                if self.data[p : p + 2] == b"\r\n":
+                    p += 2
+                elif self.data[p : p + 1] in (b"\n", b"\r"):
+                    p += 1
+                ln = val.get("Length")
+                raw = None
+                if isinstance(ln, int):
+                    cand_end = self.data.find(b"endstream", p + ln)
+                    # trust Length only if endstream actually follows it
+                    if cand_end != -1 and cand_end - (p + ln) <= 4:
+                        raw = self.data[p : p + ln]
+                if raw is None:
+                    end = self.data.find(b"endstream", p)
+                    if end == -1:
+                        continue
+                    raw = self.data[p:end].rstrip(b"\r\n")
+                val = _Stream(val, raw)
+            # later definitions win (incremental-update semantics)
+            self.objects[num] = val
+
+    def _unpack_objstms(self) -> None:
+        for num in list(self.objects):
+            o = self.objects[num]
+            if isinstance(o, _Stream) and str(self.resolve(o.d.get("Type"))) == "ObjStm":
+                data = _decode_stream(o, self.resolve)
+                if data is None:
+                    continue
+                n = self.resolve(o.d.get("N"))
+                first = self.resolve(o.d.get("First"))
+                if not isinstance(n, int) or not isinstance(first, int):
+                    continue
+                head = _Lexer(data)
+                pairs = []
+                try:
+                    for _ in range(n):
+                        onum = head.next_token()
+                        off = head.next_token()
+                        if not isinstance(onum, int) or not isinstance(off, int):
+                            raise ValueError
+                        pairs.append((onum, off))
+                except Exception:
+                    continue
+                for onum, off in pairs:
+                    if onum in self.objects:
+                        continue  # direct objects outrank ObjStm entries
+                    try:
+                        self.objects[onum] = _Lexer(data, first + off).next_token()
+                    except Exception:
+                        continue
+
+    def resolve(self, v, depth: int = 0):
+        while isinstance(v, _Ref) and depth < 32:
+            v = self.objects.get(v.num)
+            depth += 1
+        return v
+
+    # -- pages --------------------------------------------------------------
+    def page_objects(self) -> list[dict]:
+        catalog = None
+        for o in self.objects.values():
+            o = o.d if isinstance(o, _Stream) else o
+            if isinstance(o, dict) and str(self.resolve(o.get("Type"))) == "Catalog":
+                catalog = o
+        pages: list[dict] = []
+        if catalog is not None:
+            seen: set[int] = set()
+
+            def walk(node_ref) -> None:
+                node = self.resolve(node_ref)
+                if isinstance(node_ref, _Ref):
+                    if node_ref.num in seen:
+                        return
+                    seen.add(node_ref.num)
+                if not isinstance(node, dict):
+                    return
+                t = str(self.resolve(node.get("Type")))
+                if t == "Page":
+                    pages.append(node)
+                else:
+                    kids = self.resolve(node.get("Kids"))
+                    if isinstance(kids, list):
+                        for k in kids:
+                            walk(k)
+
+            walk(catalog.get("Pages"))
+        if not pages:  # fallback: document order
+            for o in self.objects.values():
+                if isinstance(o, dict) and str(self.resolve(o.get("Type"))) == "Page":
+                    pages.append(o)
+        return pages
+
+    # -- fonts --------------------------------------------------------------
+    def _font_decoder(self, font_dict):
+        """bytes -> str for one font: ToUnicode CMap if present, Latin-1
+        for simple fonts, None (undecodable) for bare composite fonts."""
+        font = self.resolve(font_dict)
+        if not isinstance(font, dict):
+            return lambda bs: bs.decode("latin-1")
+        tu = self.resolve(font.get("ToUnicode"))
+        if isinstance(tu, _Stream):
+            cmap_data = _decode_stream(tu, self.resolve)
+            if cmap_data is not None:
+                table, width = _parse_tounicode(cmap_data)
+                if table is not None:
+
+                    def via_cmap(bs: bytes, _t=table, _w=width) -> str:
+                        out = []
+                        for i in range(0, len(bs) - _w + 1, _w):
+                            code = int.from_bytes(bs[i : i + _w], "big")
+                            ch = _t.get(code)
+                            if ch is not None:
+                                out.append(ch)
+                        return "".join(out)
+
+                    return via_cmap
+        if str(self.resolve(font.get("Subtype"))) == "Type0":
+            return lambda bs: ""  # composite without CMap: no mojibake
+        return lambda bs: bs.decode("latin-1")
+
+    def _res_fonts(self, res) -> dict[str, object]:
+        res = self.resolve(res)
+        fonts = {}
+        if isinstance(res, dict):
+            fdict = self.resolve(res.get("Font"))
+            if isinstance(fdict, dict):
+                for name, fref in fdict.items():
+                    fonts[name] = self._font_decoder(fref)
+        return fonts
+
+    def _res_xobjects(self, res) -> dict[str, object]:
+        res = self.resolve(res)
+        xos = {}
+        if isinstance(res, dict):
+            xdict = self.resolve(res.get("XObject"))
+            if isinstance(xdict, dict):
+                for name, xref in xdict.items():
+                    xo = self.resolve(xref)
+                    if isinstance(xo, _Stream) and str(
+                        self.resolve(xo.d.get("Subtype"))
+                    ) == "Form":
+                        xos[name] = xo
+        return xos
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        parts: list[bytes] = []
+        items = contents if isinstance(contents, list) else [contents]
+        for it in items:
+            it = self.resolve(it)
+            if isinstance(it, _Stream):
+                data = _decode_stream(it, self.resolve)
+                if data:
+                    parts.append(data)
+        return b"\n".join(parts)
+
+
+def _parse_tounicode(data: bytes):
+    """(code -> str) table + code byte-width from a ToUnicode CMap."""
+    try:
+        text = data.decode("latin-1")
+    except Exception:
+        return None, 1
+    width = 1
+    m = re.search(r"begincodespacerange\s*<([0-9A-Fa-f]+)>", text)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    table: dict[int, str] = {}
+
+    def u(hexs: str) -> str:
+        b = bytes.fromhex(hexs)
+        if len(b) % 2:
+            b = b"\x00" + b
+        return b.decode("utf-16-be", "ignore")
+
+    for block in re.findall(r"beginbfchar(.*?)endbfchar", text, re.S):
+        for src, dst in re.findall(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
+            table[int(src, 16)] = u(dst)
+    for block in re.findall(r"beginbfrange(.*?)endbfrange", text, re.S):
+        for lo, hi, dst in re.findall(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
+        ):
+            lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst, 16)
+            for off in range(hi_i - lo_i + 1):
+                table[lo_i + off] = chr(base + off) if base + off < 0x110000 else ""
+        for lo, arr in re.findall(r"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]", block, re.S):
+            lo_i = int(lo, 16)
+            for off, dst in enumerate(re.findall(r"<([0-9A-Fa-f]+)>", arr)):
+                table[lo_i + off] = u(dst)
+    return table, width
+
+
+def _page_lines(
+    content: bytes, fonts: dict, xobjects: dict | None = None, pdf: "_Pdf | None" = None,
+    depth: int = 0,
+) -> list[str]:
+    """Interpret a content stream's text operators into lines. ``Do`` of a
+    Form XObject recurses into the form's own content/resources (its
+    Resources override the caller's; depth-capped against cycles)."""
+    lex = _Lexer(content)
+    stack: list = []
+    lines: list[str] = []
+    cur: list[str] = []
+    # before any Tf (or for fonts missing from Resources) decode as
+    # Latin-1 — the simple-font behavior; real composite fonts always
+    # carry a Tf that installs their CMap decoder
+    default_decoder = (lambda bs: bs.decode("latin-1"))
+    decoder = default_decoder
+    in_text = False
+
+    def newline() -> None:
+        nonlocal cur
+        s = "".join(cur)
+        if s.strip():
+            lines.append(s)
+        cur = []
+
+    def show(bs) -> None:
+        if isinstance(bs, _Str) and decoder is not None:
+            cur.append(decoder(bytes(bs)))
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        if type(tok) is not bytes:  # _Str/values are operands, not ops
+            stack.append(tok)
+            continue
+        op = tok
+        if op == b"BI":  # inline image: skip to EI
+            m = re.compile(rb"\sEI(?=[\s\x00]|$)").search(lex.data, lex.pos)
+            lex.pos = m.end() if m else len(lex.data)
+        elif op == b"Do":
+            if (
+                pdf is not None
+                and xobjects
+                and depth < 8
+                and stack
+                and isinstance(stack[-1], _Name)
+            ):
+                xo = xobjects.get(str(stack[-1]))
+                if xo is not None:
+                    sub = _decode_stream(xo, pdf.resolve)
+                    if sub:
+                        res = xo.d.get("Resources")
+                        sub_fonts = pdf._res_fonts(res) or fonts
+                        sub_xos = pdf._res_xobjects(res) or xobjects
+                        newline()
+                        lines.extend(
+                            _page_lines(sub, sub_fonts, sub_xos, pdf, depth + 1)
+                        )
+        elif op == b"BT":
+            in_text = True
+        elif op == b"ET":
+            newline()
+            in_text = False
+        elif op == b"Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], _Name):
+                decoder = fonts.get(str(stack[-2]), default_decoder)
+        elif op in (b"Td", b"TD", b"T*", b"Tm"):
+            if in_text:
+                newline()
+        elif op == b"Tj":
+            if stack:
+                show(stack[-1])
+        elif op in (b"'", b'"'):
+            newline()
+            if stack:
+                show(stack[-1])
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, _Str):
+                        show(el)
+                    elif isinstance(el, (int, float)) and el < TJ_SPACE_GAP:
+                        cur.append(" ")
+        stack.clear()  # every operator consumes its operands
+    newline()
+    return lines
+
+
+def extract_pdf_lines(data: bytes) -> list[str] | None:
+    """Text lines of a PDF in page/content order; None when nothing is
+    extractable (not a PDF, encrypted, fully undecodable). Never raises."""
+    try:
+        if not data.startswith(b"%PDF-"):
+            return None
+        pdf = _Pdf(data)
+        # encrypted documents: strings/streams are ciphertext — bail to
+        # the failure tier rather than emit garbage. The /Encrypt entry
+        # lives in the trailer dict (which the robust scan does not parse
+        # as an object) or an xref-stream dict, so check both forms.
+        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+            return None
+        for o in pdf.objects.values():
+            if isinstance(o, dict) and "Encrypt" in o:
+                return None
+        lines: list[str] = []
+        for page in pdf.page_objects():
+            res = page.get("Resources")
+            content = pdf.page_content(page)
+            if content:
+                lines.extend(
+                    _page_lines(
+                        content, pdf._res_fonts(res), pdf._res_xobjects(res), pdf
+                    )
+                )
+        return lines if lines else None
+    except Exception:
+        return None

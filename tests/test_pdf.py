@@ -1,0 +1,267 @@
+"""PDF text extraction (extraction/pdf.py) validated against an
+INDEPENDENT minimal PDF writer built here: classic-xref and
+object-stream layouts, Flate/ASCIIHex/ASCII85 filters, TJ kerning, Td/Tm
+line breaks, ToUnicode CMaps (bfchar + bfrange), Form XObjects, inline
+images, incremental updates, encrypted/corrupt degradation — and the
+dispatch through extraction/core + the Spark extraction job."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from manga_ocr_spark.extraction.pdf import extract_pdf_lines
+
+
+class PdfWriter:
+    """Minimal independent PDF writer: explicit objects, classic xref."""
+
+    def __init__(self) -> None:
+        self.objects: dict[int, bytes] = {}
+
+    def put(self, num: int, body: bytes) -> int:
+        self.objects[num] = body
+        return num
+
+    def stream(self, num: int, d: str, data: bytes) -> int:
+        body = f"<< {d} /Length {len(data)} >>\nstream\n".encode() + data + b"\nendstream"
+        return self.put(num, body)
+
+    def render(self, trailer_root: int = 1) -> bytes:
+        out = bytearray(b"%PDF-1.5\n")
+        offsets = {}
+        for num in sorted(self.objects):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + self.objects[num] + b"\nendobj\n"
+        xref_at = len(out)
+        maxnum = max(self.objects) if self.objects else 0
+        out += f"xref\n0 {maxnum + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, maxnum + 1):
+            off = offsets.get(num, 0)
+            out += f"{off:010d} {0:05d} n \n".encode()
+        out += (
+            f"trailer\n<< /Size {maxnum + 1} /Root {trailer_root} 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+
+def _simple_pdf(content: bytes, compress: bool = True, nfonts: bool = True) -> bytes:
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    res = b"/Resources << /Font << /F1 5 0 R >> >>" if nfonts else b""
+    w.put(3, b"<< /Type /Page /Parent 2 0 R " + res + b" /Contents 4 0 R >>")
+    if compress:
+        w.stream(4, "/Filter /FlateDecode", zlib.compress(content))
+    else:
+        w.stream(4, "", content)
+    w.put(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return w.render()
+
+
+def test_simple_tj_lines_flate_and_raw():
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (Hello PDF world) Tj "
+        b"0 -14 Td (second line here) Tj ET"
+    )
+    for compress in (True, False):
+        lines = extract_pdf_lines(_simple_pdf(content, compress=compress))
+        assert lines == ["Hello PDF world", "second line here"]
+
+
+def test_tj_array_kerning_inserts_spaces():
+    content = b"BT /F1 12 Tf 72 700 Td [(Hel) -20 (lo) -250 (world)] TJ ET"
+    lines = extract_pdf_lines(_simple_pdf(content))
+    assert lines == ["Hello world"]  # -20 joins, -250 becomes a space
+
+
+def test_string_escapes_and_hex_strings():
+    content = (
+        rb"BT /F1 12 Tf (paren \( close \) back\\slash \101\102) Tj "
+        b"0 -14 Td <48692068657821> Tj ET"
+    )
+    lines = extract_pdf_lines(_simple_pdf(content))
+    assert lines == ["paren ( close ) back\\slash AB", "Hi hex!"]
+
+
+def test_multi_page_order_via_page_tree():
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    # Kids deliberately list page B (obj 6) FIRST — tree order must win
+    w.put(2, b"<< /Type /Pages /Kids [6 0 R 3 0 R] /Count 2 >>")
+    w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    w.stream(4, "", b"BT (page A text) Tj ET")
+    w.put(6, b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
+    w.stream(7, "", b"BT (page B text) Tj ET")
+    assert extract_pdf_lines(w.render()) == ["page B text", "page A text"]
+
+
+def test_tounicode_cmap_bfchar_and_bfrange():
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar <01> <0048> <02> <0069> endbfchar\n"  # H i
+        b"1 beginbfrange <10> <12> <0041> endbfrange\n"  # A B C
+        b"endcmap end\n"
+    )
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+        b" /Contents 4 0 R >>",
+    )
+    w.stream(4, "", b"BT /F1 12 Tf <0102> Tj 0 -14 Td <101112> Tj ET")
+    w.put(5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>")
+    w.stream(6, "", cmap)
+    assert extract_pdf_lines(w.render()) == ["Hi", "ABC"]
+
+
+def test_composite_font_without_cmap_yields_nothing():
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+        b" /Contents 4 0 R >>",
+    )
+    w.stream(4, "", b"BT /F1 12 Tf <0102> Tj ET")
+    w.put(5, b"<< /Type /Font /Subtype /Type0 >>")  # CID bytes unmappable
+    assert extract_pdf_lines(w.render()) is None  # no mojibake emitted
+
+
+def test_object_stream_layout():
+    # modern layout: catalog/pages/page/font dicts packed into an ObjStm
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+        b" /Contents 4 0 R >>",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    header = bytearray()
+    body = bytearray()
+    for num, b in inner.items():
+        header += f"{num} {len(body)} ".encode()
+        body += b + b" "
+    payload = bytes(header) + bytes(body)
+    w = PdfWriter()
+    w.stream(
+        9,
+        f"/Type /ObjStm /N {len(inner)} /First {len(header)} /Filter /FlateDecode",
+        zlib.compress(payload),
+    )
+    w.stream(4, "/Filter /FlateDecode", zlib.compress(b"BT /F1 9 Tf (from objstm) Tj ET"))
+    assert extract_pdf_lines(w.render()) == ["from objstm"]
+
+
+def test_ascii_filters_and_filter_chain():
+    import base64
+
+    content = b"BT /F1 12 Tf (filtered text) Tj ET"
+    hx = content.hex().encode() + b">"
+    a85 = base64.a85encode(zlib.compress(content)) + b"~>"
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>")
+    w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    w.stream(4, "/Filter /ASCIIHexDecode", hx)
+    w.put(6, b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
+    # chain: ASCII85 wrapping Flate
+    w.stream(7, "/Filter [/ASCII85Decode /FlateDecode]", a85)
+    assert extract_pdf_lines(w.render()) == ["filtered text", "filtered text"]
+
+
+def test_form_xobject_text_and_inline_image_skip():
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >>"
+        b" /XObject << /Fm1 8 0 R >> >> /Contents 4 0 R >>",
+    )
+    # inline image bytes include ( and BT to prove the skip is byte-exact
+    w.stream(
+        4,
+        "",
+        b"BT /F1 12 Tf (before form) Tj ET "
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00(BT\xff\x01 EI "
+        b"/Fm1 Do BT (after form) Tj ET",
+    )
+    w.put(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    w.stream(
+        8,
+        "/Type /XObject /Subtype /Form"
+        " /Resources << /Font << /F1 5 0 R >> >>",
+        b"BT /F1 10 Tf (inside the form) Tj ET",
+    )
+    lines = extract_pdf_lines(w.render())
+    assert lines == ["before form", "inside the form", "after form"]
+
+
+def test_incremental_update_latest_object_wins():
+    base = _simple_pdf(b"BT /F1 12 Tf (original text) Tj ET")
+    # append a replacement content object 4 (incremental update section)
+    update = (
+        b"4 0 obj\n<< /Length 34 >>\nstream\n"
+        b"BT /F1 12 Tf (updated text) Tj ET\nendstream\nendobj\n"
+    )
+    data = base + update
+    assert extract_pdf_lines(data) == ["updated text"]
+
+
+def test_encrypted_and_corrupt_degrade_to_none():
+    enc = _simple_pdf(b"BT (secret) Tj ET")
+    enc += b"trailer\n<< /Encrypt 99 0 R /Root 1 0 R >>\n"
+    assert extract_pdf_lines(enc) is None
+    assert extract_pdf_lines(b"%PDF-1.5\ngarbage without objects") is None
+    assert extract_pdf_lines(b"not a pdf at all") is None
+    truncated = _simple_pdf(b"BT /F1 12 Tf (cut) Tj ET")[:80]
+    assert extract_pdf_lines(truncated) in (None, [])
+
+
+def test_core_dispatch_and_spark_job(spark):
+    # the %PDF- magic routes through extraction/core with the same
+    # byte-stable normalization; HTML rows are unaffected in the same batch
+    from pyspark.sql import Row
+
+    from manga_ocr_spark.extraction.core import extract
+    from manga_ocr_spark.jobs.extract import extract_pages
+
+    pdf = _simple_pdf(
+        b"BT /F1 12 Tf (PDF  body   with \\( spaced \\)  runs) Tj 0 -14 Td (line two) Tj ET"
+    )
+    res = extract(pdf)
+    assert res.text == "PDF body with ( spaced ) runs\nline two"
+    assert res.n_blocks_kept == 2 and res.n_blocks_dropped == 0
+
+    import datetime as dt
+
+    rows = [
+        Row(
+            url="https://x/doc.pdf",
+            warc_ts=dt.datetime(2024, 3, 1),
+            html=bytearray(pdf),
+            text=None,
+            lang=None,
+        ),
+        Row(
+            url="https://x/page.html",
+            warc_ts=dt.datetime(2024, 3, 1),
+            html=bytearray(b"<html><body><p>plain html words</p></body></html>"),
+            text=None,
+            lang=None,
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r.url: r for r in extract_pages(df).collect()}
+    assert out["https://x/doc.pdf"].extracted_text.startswith("PDF body with")
+    assert out["https://x/page.html"].extracted_text == "plain html words"
