@@ -39,8 +39,11 @@ def extract(payload: bytes | bytearray | None, max_bytes: int = MAX_HTML_BYTES) 
     bytes — the north rule's "HTML boilerplate strip, PDF/layout parse"
     pipeline family dispatches here). Never raises."""
     try:
-        if payload is not None and bytes(payload[:5]) == b"%PDF-":
-            return _extract_pdf(bytes(payload), max_bytes)
+        if payload is not None:
+            from manga_ocr_spark.extraction.pdf import sniff_pdf
+
+            if sniff_pdf(bytes(payload[:1024])) >= 0:
+                return _extract_pdf(bytes(payload), max_bytes)
         html_text = decode_html(payload, max_bytes=max_bytes)
         if not html_text:
             return ExtractResult(None, 0, 0, [])

@@ -355,7 +355,14 @@ class _Pdf:
 
     # -- object table -------------------------------------------------------
     def _scan_objects(self) -> None:
+        # `N G obj` matches INSIDE already-consumed extents (a stream body
+        # or string that happens to contain those bytes) must not clobber
+        # the real object of that number — track how far the last
+        # successful parse consumed and skip matches inside it
+        consumed_until = 0
         for m in _OBJ_RE.finditer(self.data):
+            if m.start() < consumed_until:
+                continue
             num = int(m.group(1))
             lex = _Lexer(self.data, m.end())
             try:
@@ -364,6 +371,7 @@ class _Pdf:
                 continue
             # stream?
             lex._skip_ws()
+            end_pos = lex.pos
             if isinstance(val, dict) and self.data.startswith(b"stream", lex.pos):
                 p = lex.pos + 6
                 if self.data[p : p + 2] == b"\r\n":
@@ -377,12 +385,15 @@ class _Pdf:
                     # trust Length only if endstream actually follows it
                     if cand_end != -1 and cand_end - (p + ln) <= 4:
                         raw = self.data[p : p + ln]
+                        end_pos = cand_end + len(b"endstream")
                 if raw is None:
                     end = self.data.find(b"endstream", p)
                     if end == -1:
                         continue
                     raw = self.data[p:end].rstrip(b"\r\n")
+                    end_pos = end + len(b"endstream")
                 val = _Stream(val, raw)
+            consumed_until = max(consumed_until, end_pos)
             # later definitions win (incremental-update semantics)
             self.objects[num] = val
 
@@ -543,17 +554,24 @@ def _parse_tounicode(data: bytes):
     for block in re.findall(r"beginbfchar(.*?)endbfchar", text, re.S):
         for src, dst in re.findall(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
             table[int(src, 16)] = u(dst)
+    # bfrange entries are parsed ONE AT A TIME with a single alternation
+    # — two independent global regexes would let the scalar-destination
+    # pattern also match three consecutive <hex> items INSIDE an array
+    # destination, emitting bogus mappings that clobber correct ones
+    entry_re = re.compile(
+        r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+        re.S,
+    )
     for block in re.findall(r"beginbfrange(.*?)endbfrange", text, re.S):
-        for lo, hi, dst in re.findall(
-            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
-        ):
-            lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst, 16)
-            for off in range(hi_i - lo_i + 1):
-                table[lo_i + off] = chr(base + off) if base + off < 0x110000 else ""
-        for lo, arr in re.findall(r"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]", block, re.S):
-            lo_i = int(lo, 16)
-            for off, dst in enumerate(re.findall(r"<([0-9A-Fa-f]+)>", arr)):
-                table[lo_i + off] = u(dst)
+        for m in entry_re.finditer(block):
+            lo_i, hi_i = int(m.group(1), 16), int(m.group(2), 16)
+            if m.group(3) is not None:  # scalar destination: consecutive
+                base = int(m.group(3), 16)
+                for off in range(hi_i - lo_i + 1):
+                    table[lo_i + off] = chr(base + off) if base + off < 0x110000 else ""
+            else:  # array destination: one string per code
+                for off, dst in enumerate(re.findall(r"<([0-9A-Fa-f]+)>", m.group(4))):
+                    table[lo_i + off] = u(dst)
     return table, width
 
 
@@ -646,22 +664,52 @@ def _page_lines(
     return lines
 
 
+def sniff_pdf(payload: bytes) -> int:
+    """Offset of the %PDF- header, or -1. ISO 32000 implementation notes
+    allow junk before the header within the first 1024 bytes (CGI
+    preambles, BOMs — common in crawled PDFs); an HTML-looking preamble
+    disqualifies (an HTML page merely MENTIONING %PDF- is not a PDF)."""
+    head = bytes(payload[:1024])
+    idx = head.find(b"%PDF-")
+    if idx < 0:
+        return -1
+    pre = head[:idx].lower()
+    if b"<html" in pre or b"<!doctype" in pre or b"<body" in pre:
+        return -1
+    return idx
+
+
+def _trailer_encrypted(data: bytes, pdf: "_Pdf") -> bool:
+    """/Encrypt present in a trailer dict or an xref-stream dict — NOT a
+    whole-file regex, which would reject any unencrypted document whose
+    stream/string content merely contains the bytes '/Encrypt N G R'."""
+    for m in re.finditer(rb"\btrailer\b", data):
+        try:
+            d = _Lexer(data, m.end()).next_token()
+        except Exception:
+            continue
+        if isinstance(d, dict) and "Encrypt" in d:
+            return True
+    for o in pdf.objects.values():
+        d = o.d if isinstance(o, _Stream) else o
+        if isinstance(d, dict) and str(pdf.resolve(d.get("Type"))) == "XRef" and "Encrypt" in d:
+            return True
+    return False
+
+
 def extract_pdf_lines(data: bytes) -> list[str] | None:
     """Text lines of a PDF in page/content order; None when nothing is
     extractable (not a PDF, encrypted, fully undecodable). Never raises."""
     try:
-        if not data.startswith(b"%PDF-"):
+        idx = sniff_pdf(data)
+        if idx < 0:
             return None
+        data = data[idx:]
         pdf = _Pdf(data)
         # encrypted documents: strings/streams are ciphertext — bail to
-        # the failure tier rather than emit garbage. The /Encrypt entry
-        # lives in the trailer dict (which the robust scan does not parse
-        # as an object) or an xref-stream dict, so check both forms.
-        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+        # the failure tier rather than emit garbage
+        if _trailer_encrypted(data, pdf):
             return None
-        for o in pdf.objects.values():
-            if isinstance(o, dict) and "Encrypt" in o:
-                return None
         lines: list[str] = []
         for page in pdf.page_objects():
             res = page.get("Resources")

@@ -11,9 +11,12 @@ into page rows as the ingest step. This source does that Spark-natively:
   is ~64k segment files of ~1 GB; the file *count* provides the
   parallelism, not intra-file splits). For intra-file splits, use
   :func:`pages_from_warc_ranges` with a CDX-style offset index.
-- record parsing runs in an Arrow-batched ``mapInArrow`` (no per-row
-  Python from Spark's perspective; the record walk itself is a linear
-  scan over the decompressed buffer).
+- record parsing runs in an Arrow-batched ``mapInArrow``, STREAMING:
+  gzip members decompress one at a time and output RecordBatches flush
+  every ``_BATCH_PAGES`` pages / ``_BATCH_BYTES`` bytes, so peak memory
+  per task is one member + one output batch — never the multi-GB fully-
+  decompressed archive (the compressed file itself is already in memory,
+  courtesy of binaryFile).
 - output is ``PAGES_SCHEMA`` rows (url, warc_ts, html, text=None,
   lang=None) ready for :func:`manga_ocr_spark.jobs.extract.extract_pages`
   or an :class:`ExtractJob` — the same downstream path as table input.
@@ -21,14 +24,23 @@ into page rows as the ingest step. This source does that Spark-natively:
 Format notes (public spec, ISO 28500 / WARC 1.0-1.1):
 
 - a WARC file is a sequence of records; `.warc.gz` stores each record as
-  its own gzip member — ``zlib`` handles concatenated members.
+  its own gzip member — members are simply concatenated.
 - record = version line (``WARC/1.0``) + CRLF-delimited named header
   fields + CRLF CRLF + exactly ``Content-Length`` bytes of content +
-  CRLF CRLF.
+  CRLF CRLF. LF-only line endings appear in the wild and are accepted
+  (the EARLIEST of CRLFCRLF / LFLF terminates a header block — taking
+  the first CRLFCRLF anywhere ahead would mis-frame LF-only records
+  whose HTTP payload contains CRLF).
 - only ``WARC-Type: response`` records carrying an HTTP payload
   (``Content-Type: application/http``) yield pages; the HTML body is the
-  part of the HTTP message after its header block. ``resource`` records
-  (e.g. WET conversions) are yielded with their content as-is.
+  part of the HTTP message after its header block, de-chunked when
+  ``Transfer-Encoding: chunked`` and decompressed when
+  ``Content-Encoding: gzip/deflate`` (crawls store messages as
+  received). ``resource``/``conversion`` records (e.g. WET) are yielded
+  with their content as-is.
+- corrupt gzip members, truncated tails, and structural garbage NEVER
+  raise: everything parseable before the break is yielded (a single bad
+  archive must not kill a Spark task).
 
 Reference analogue: the directory-poll ingest of
 /root/reference/manga_ocr/run.py:93-107 — here the "directory" is a
@@ -44,22 +56,105 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 _GZIP_MAGIC = b"\x1f\x8b"
+_BATCH_PAGES = 1024  # output RecordBatch flush thresholds
+_BATCH_BYTES = 64 << 20
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream. Each WARC record
-    is its own member in `.warc.gz`; members are simply concatenated."""
-    out = []
+def _gunzip_member_iter(data: bytes) -> Iterator[bytes]:
+    """One decompressed chunk per gzip member; a corrupt member ends the
+    iteration (prefix preserved) instead of raising."""
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data[pos:]))
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            return
+        if chunk:
+            yield chunk
         tail = d.unused_data
         if not tail:
-            break
-        pos = n - len(tail)
-    return b"".join(out)
+            return
+        newpos = n - len(tail)
+        if newpos <= pos:
+            return  # no forward progress: corrupt stream
+        pos = newpos
+
+
+def _find_blank_line(data: bytes, pos: int) -> tuple[int, int] | None:
+    """(index, separator_len) of the EARLIEST header-block terminator at
+    or after ``pos`` — CRLFCRLF or LFLF, whichever comes first."""
+    a = data.find(b"\r\n\r\n", pos)
+    b = data.find(b"\n\n", pos)
+    if a == -1 and b == -1:
+        return None
+    if b == -1 or (a != -1 and a < b):
+        return a, 4
+    return b, 2
+
+
+def _parse_records(data: bytes, final: bool):
+    """Parse complete records from a buffer.
+
+    Returns ``(records, consumed, dead)``: ``consumed`` is the offset the
+    caller may discard up to; an incomplete trailing record is left
+    unconsumed while ``final`` is False (more bytes may arrive);
+    ``dead`` means structural garbage — stop feeding this stream.
+    """
+    records: list[tuple[dict[str, str], bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos] in (0x0D, 0x0A):  # inter-record CRLFs
+            pos += 1
+        if pos >= n:
+            return records, n, False
+        if not data.startswith(b"WARC/", pos):
+            if not final and n - pos < 5:
+                return records, pos, False  # maybe a split "WARC/" prefix
+            return records, n, True  # garbage: desynced, stop
+        term = _find_blank_line(data, pos)
+        if term is None:
+            return (records, n, False) if final else (records, pos, False)
+        hdr_end, sep = term
+        headers: dict[str, str] = {}
+        lines = data[pos:hdr_end].decode("utf-8", "replace").splitlines()
+        headers["warc-version"] = lines[0].strip()
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return records, n, True
+        body_start = hdr_end + sep
+        if body_start + length > n:
+            # incomplete: final -> truncated tail (drop); else wait
+            return (records, n, False) if final else (records, pos, False)
+        records.append((headers, data[body_start : body_start + length]))
+        pos = body_start + length
+    return records, n, False
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, content) for each record of a WARC buffer
+    (compressed or plain). Never raises; parses what is parseable."""
+    if data[:2] == _GZIP_MAGIC:
+        buf = bytearray()
+        for chunk in _gunzip_member_iter(data):
+            buf += chunk
+            recs, consumed, dead = _parse_records(bytes(buf), final=False)
+            yield from recs
+            del buf[:consumed]
+            if dead:
+                return
+        recs, _, _ = _parse_records(bytes(buf), final=True)
+        yield from recs
+    else:
+        recs, _, _ = _parse_records(data, final=True)
+        yield from recs
 
 
 def _parse_warc_date(s: str) -> dt.datetime | None:
@@ -77,62 +172,64 @@ def _parse_warc_date(s: str) -> dt.datetime | None:
         return None
 
 
-def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield (headers, content) for each record of a WARC buffer.
-
-    ``headers`` keys are lower-cased field names plus ``"warc-version"``.
-    Tolerates leading/trailing CRLF padding between records; stops at the
-    first structurally-broken record (truncated files are a fact of life
-    in crawl data — parse what is parseable, never raise mid-file).
-    """
-    if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked HTTP body; on any framing
+    surprise returns what was assembled so far (never raises)."""
+    out = bytearray()
     pos = 0
-    n = len(data)
+    n = len(body)
     while pos < n:
-        while pos < n and data[pos] in (0x0D, 0x0A):  # inter-record CRLFs
-            pos += 1
-        if pos >= n:
-            return
-        if not data.startswith(b"WARC/", pos):
-            return  # garbage past the last record
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end == -1:
-            hdr_end = data.find(b"\n\n", pos)
-            sep = 2
-        if hdr_end == -1:
-            return
-        headers: dict[str, str] = {}
-        lines = data[pos:hdr_end].decode("utf-8", "replace").splitlines()
-        headers["warc-version"] = lines[0].strip()
-        for line in lines[1:]:
-            if ":" in line:
-                k, v = line.split(":", 1)
-                headers[k.strip().lower()] = v.strip()
+        nl = body.find(b"\n", pos)
+        if nl == -1:
+            break
+        size_tok = body[pos:nl].strip().split(b";")[0]
         try:
-            length = int(headers.get("content-length", ""))
+            size = int(size_tok, 16)
         except ValueError:
-            return
-        body_start = hdr_end + sep
-        if body_start + length > n:
-            return  # truncated final record
-        yield headers, data[body_start : body_start + length]
-        pos = body_start + length
+            break
+        if size == 0:
+            break
+        start = nl + 1
+        out += body[start : start + size]
+        pos = start + size
+        while pos < n and body[pos] in (0x0D, 0x0A):
+            pos += 1
+    return bytes(out)
 
 
 def _http_body(content: bytes) -> bytes | None:
-    """Body of an HTTP message block (response records wrap one)."""
+    """Body of an HTTP message block (response records wrap one):
+    header split on the earliest blank line, de-chunked and
+    content-decoded (gzip/deflate) as needed. None when the body cannot
+    be recovered (unknown coding, corrupt compression)."""
     if not content.startswith(b"HTTP/"):
         return None
-    end = content.find(b"\r\n\r\n")
-    sep = 4
-    if end == -1:
-        end = content.find(b"\n\n")
-        sep = 2
-    if end == -1:
+    term = _find_blank_line(content, 0)
+    if term is None:
         return None
-    return content[end + sep :]
+    end, sep = term
+    head = content[:end].decode("latin-1", "replace").lower()
+    body = content[end + sep :]
+    headers: dict[str, str] = {}
+    for line in head.splitlines()[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip()] = v.strip()
+    if "chunked" in headers.get("transfer-encoding", ""):
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").split(",")[0].strip()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        for wbits in (47, -15):
+            try:
+                body = zlib.decompress(body, wbits)
+                break
+            except zlib.error:
+                continue
+        else:
+            return None
+    elif ce and ce != "identity":
+        return None  # br/zstd/...: not decodable here
+    return body
 
 
 def warc_pages(data: bytes) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
@@ -156,43 +253,63 @@ def warc_pages(data: bytes) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
             yield url, ts, content
 
 
+def _page_batches(page_iter, lang: str | None):
+    """Group (url, ts, html) tuples into Arrow RecordBatches bounded by
+    _BATCH_PAGES / _BATCH_BYTES — bounds task memory on GB-scale files."""
+    import pyarrow as pa
+
+    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
+
+    names = [f.name for f in PAGES_SCHEMA.fields]
+    urls: list[str] = []
+    tss: list[dt.datetime | None] = []
+    htmls: list[bytes] = []
+    nbytes = 0
+
+    def flush():
+        nonlocal urls, tss, htmls, nbytes
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, pa.timestamp("us")),
+                pa.array(htmls, pa.binary()),
+                pa.array([None] * len(urls), pa.string()),
+                pa.array([lang] * len(urls), pa.string()),
+            ],
+            names=names,
+        )
+        urls, tss, htmls, nbytes = [], [], [], 0
+        return batch
+
+    for url, ts, html in page_iter:
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        nbytes += len(html)
+        if len(urls) >= _BATCH_PAGES or nbytes >= _BATCH_BYTES:
+            yield flush()
+    if urls:
+        yield flush()
+
+
 def pages_from_warc(spark: SparkSession, path: str, lang: str | None = None) -> DataFrame:
     """Read `.warc` / `.warc.gz` files under ``path`` into PAGES_SCHEMA.
 
     One Spark task per archive file (binaryFile source, see module
-    docstring); records explode inside an Arrow-batched ``mapInArrow``.
-    ``text``/``lang`` stay NULL (``lang`` optionally forced) — they are
-    produced by extraction, not ingest.
+    docstring); records stream out of each archive member-by-member in
+    bounded Arrow batches. ``text``/``lang`` stay NULL (``lang``
+    optionally forced) — they are produced by extraction, not ingest.
     """
-    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
-
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def explode(batches):
-        import pyarrow as pa
-
         for batch in batches:
-            urls: list[str] = []
-            tss: list[dt.datetime | None] = []
-            htmls: list[bytes] = []
             for v in batch.column("content"):
                 payload = v.as_py()
-                if not payload:
-                    continue
-                for url, ts, html in warc_pages(payload):
-                    urls.append(url)
-                    tss.append(ts)
-                    htmls.append(html)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, pa.string()),
-                    pa.array(tss, pa.timestamp("us")),
-                    pa.array(htmls, pa.binary()),
-                    pa.array([None] * len(urls), pa.string()),
-                    pa.array([lang] * len(urls), pa.string()),
-                ],
-                names=[f.name for f in PAGES_SCHEMA.fields],
-            )
+                if payload:
+                    yield from _page_batches(warc_pages(payload), lang)
+
+    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
 
     return files.mapInArrow(explode, PAGES_SCHEMA)
 
@@ -217,46 +334,34 @@ def pages_from_warc_ranges(
     the task granularity; a production job sorts ranges by (path, offset)
     within partitions so each task reads roughly-sequential byte spans.
     """
-    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
 
     def read_ranges(batches):
-        import pyarrow as pa
         from pyarrow import fs as pafs
 
         filesystems: dict[str, object] = {}  # per-scheme cache, worker-lifetime
-        for batch in batches:
-            urls: list[str] = []
-            tss: list[dt.datetime | None] = []
-            htmls: list[bytes] = []
-            for path, offset, length in zip(
-                batch.column("path").to_pylist(),
-                batch.column("offset").to_pylist(),
-                batch.column("length").to_pylist(),
-            ):
-                scheme = path.split("://", 1)[0] if "://" in path else "file"
-                filesystem = filesystems.get(scheme)
-                if filesystem is None:
-                    filesystem, _ = pafs.FileSystem.from_uri(
-                        path if "://" in path else f"file://{path}"
-                    )
-                    filesystems[scheme] = filesystem
-                resolved = path.split("://", 1)[1] if "://" in path else path
-                with filesystem.open_input_file(resolved) as f:
-                    f.seek(offset)
-                    buf = f.read(length)
-                for url, ts, html in warc_pages(buf):
-                    urls.append(url)
-                    tss.append(ts)
-                    htmls.append(html)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, pa.string()),
-                    pa.array(tss, pa.timestamp("us")),
-                    pa.array(htmls, pa.binary()),
-                    pa.array([None] * len(urls), pa.string()),
-                    pa.array([lang] * len(urls), pa.string()),
-                ],
-                names=[f.name for f in PAGES_SCHEMA.fields],
-            )
+
+        def pages():
+            for batch in batches:
+                for path, offset, length in zip(
+                    batch.column("path").to_pylist(),
+                    batch.column("offset").to_pylist(),
+                    batch.column("length").to_pylist(),
+                ):
+                    scheme = path.split("://", 1)[0] if "://" in path else "file"
+                    filesystem = filesystems.get(scheme)
+                    if filesystem is None:
+                        filesystem, _ = pafs.FileSystem.from_uri(
+                            path if "://" in path else f"file://{path}"
+                        )
+                        filesystems[scheme] = filesystem
+                    resolved = path.split("://", 1)[1] if "://" in path else path
+                    with filesystem.open_input_file(resolved) as f:
+                        f.seek(offset)
+                        buf = f.read(length)
+                    yield from warc_pages(buf)
+
+        yield from _page_batches(pages(), lang)
+
+    from manga_ocr_spark.jobs.extract import PAGES_SCHEMA
 
     return index.select("path", "offset", "length").mapInArrow(read_ranges, PAGES_SCHEMA)

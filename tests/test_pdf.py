@@ -265,3 +265,66 @@ def test_core_dispatch_and_spark_job(spark):
     out = {r.url: r for r in extract_pages(df).collect()}
     assert out["https://x/doc.pdf"].extracted_text.startswith("PDF body with")
     assert out["https://x/page.html"].extracted_text == "plain html words"
+
+
+def test_obj_pattern_inside_stream_body_does_not_clobber(spark=None):
+    # self-review finding: 'N G obj' bytes inside a stream body must not
+    # replace the real object of that number
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    w.stream(4, "", b"BT (real page text) Tj ET")
+    # an image-ish stream whose bytes contain a fake redefinition of obj 3
+    w.stream(5, "/Subtype /Image", b"\x00\x01 3 0 obj << /Junk true >> \xff\xfe")
+    assert extract_pdf_lines(w.render()) == ["real page text"]
+
+
+def test_bfrange_array_destination_no_crosstalk():
+    # self-review finding: three <hex> items inside an ARRAY destination
+    # must not be parsed as a scalar bfrange entry clobbering earlier maps
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <0058> endbfchar\n"  # 0x41 -> 'X'
+        b"1 beginbfrange <00> <02> [<0041> <0042> <0043>] endbfrange\n"
+        b"endcmap\n"
+    )
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+        b" /Contents 4 0 R >>",
+    )
+    # codes: 00 01 02 (array dst -> A B C) then 41 (bfchar -> X)
+    w.stream(4, "", b"BT /F1 12 Tf <00010241> Tj ET")
+    w.put(5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>")
+    w.stream(6, "", cmap)
+    assert extract_pdf_lines(w.render()) == ["ABCX"]
+
+
+def test_encrypt_bytes_in_content_not_treated_as_encrypted():
+    # self-review finding: '/Encrypt 5 0 R' INSIDE page text must not
+    # reject the document; a real trailer /Encrypt still must
+    ok = _simple_pdf(rb"BT /F1 12 Tf (about /Encrypt 5 0 R syntax) Tj ET")
+    assert extract_pdf_lines(ok) == ["about /Encrypt 5 0 R syntax"]
+    enc = _simple_pdf(b"BT (secret) Tj ET")
+    enc += b"trailer\n<< /Encrypt 99 0 R /Root 1 0 R >>\n"
+    assert extract_pdf_lines(enc) is None
+
+
+def test_pdf_header_after_preamble_junk():
+    # self-review finding: ISO 32000 allows junk before %PDF- in the
+    # first 1024 bytes (CGI preambles/BOM); html preambles stay html
+    from manga_ocr_spark.extraction.core import extract
+    from manga_ocr_spark.extraction.pdf import sniff_pdf
+
+    pdf = _simple_pdf(b"BT /F1 12 Tf (preambled pdf) Tj ET")
+    junked = b"\xef\xbb\xbfContent-Type: application/pdf\r\n\r\n" + pdf
+    assert extract_pdf_lines(junked) == ["preambled pdf"]
+    assert extract(junked).text == "preambled pdf"
+    # an HTML page that merely mentions %PDF- stays on the HTML path
+    html = b"<html><body><p>the %PDF-1.5 header marks pdf files</p></body></html>"
+    assert sniff_pdf(html) == -1
+    assert extract(html).text == "the %PDF-1.5 header marks pdf files"

@@ -152,7 +152,7 @@ def test_pages_from_warc_one_task_per_file(spark, tmp_path):
         )
         (seg / f"p{f}.warc.gz").write_bytes(gzip.compress(rec))
     df = pages_from_warc(spark, str(seg))
-    assert df.rdd.getNumPartitions() >= 1
+    assert df.rdd.getNumPartitions() == 3  # one task per archive file
     assert df.count() == 3
 
 
@@ -196,3 +196,96 @@ def test_pages_from_warc_ranges_indexed_reads(spark, tmp_path):
     partial = spark.createDataFrame([rng(3, 4)], "path string, offset long, length long")
     only = pages_from_warc_ranges(spark, partial, lang="en").collect()
     assert [r.url for r in only] == ["https://idx/3"] and only[0].lang == "en"
+
+
+def test_corrupt_gzip_member_yields_prefix_never_raises(spark):
+    # self-review finding: a bit-flipped member / trailing garbage must
+    # yield everything before the corruption, not raise into the task
+    recs = _sample_records(3)
+    good = b"".join(gzip.compress(r) for r in recs)
+    for data in (
+        good + b"\x1f\x8b" + b"garbage not a member",
+        good[:-20],  # truncated final member
+        b"".join(gzip.compress(r) for r in recs[:2])
+        + gzip.compress(recs[2])[:10]
+        + b"\xff" * 30,
+    ):
+        parsed = list(iter_warc_records(data))
+        assert 0 < len(parsed) <= len(recs)
+        assert parsed[0][0]["warc-type"] == "warcinfo"
+
+
+def test_lf_only_record_with_crlf_http_payload():
+    # self-review finding: LF-only WARC headers whose content is a CRLF
+    # HTTP message — the EARLIEST blank line must terminate the WARC
+    # header block, not the first CRLFCRLF inside the payload
+    http = _http_response(b"<p>lf framed body</p>")
+    rec = (
+        b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://lf/1\n"
+        b"WARC-Date: 2024-03-01T12:00:00Z\nContent-Type: application/http\n"
+        + f"Content-Length: {len(http)}\n\n".encode()
+        + http
+        + b"\n\n"
+    )
+    pages = list(warc_pages(rec))
+    assert len(pages) == 1
+    assert pages[0][0] == "https://lf/1"
+    assert pages[0][2] == b"<p>lf framed body</p>"
+
+
+def test_chunked_and_gzip_http_bodies():
+    # crawls store HTTP messages as received: chunked framing and
+    # content-encoding must be undone before the body becomes "html"
+    body = b"<html><body><p>chunked gzip body</p></body></html>"
+    chunked = b""
+    for piece in (body[:10], body[10:25], body[25:]):
+        chunked += f"{len(piece):x}\r\n".encode() + piece + b"\r\n"
+    chunked += b"0\r\n\r\n"
+    http_chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/html\r\n\r\n" + chunked
+    )
+    http_gzip = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Type: text/html\r\n\r\n" + gzip.compress(body)
+    )
+    http_br = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + b"\x00\x01brdata"
+    )
+    recs = [
+        _record("response", "https://c/1", http_chunked, "application/http"),
+        _record("response", "https://c/2", http_gzip, "application/http"),
+        _record("response", "https://c/3", http_br, "application/http"),
+    ]
+    pages = {u: b for u, _, b in warc_pages(b"".join(recs))}
+    assert pages["https://c/1"] == body
+    assert pages["https://c/2"] == body
+    assert "https://c/3" not in pages  # undecodable coding: skipped, not garbage
+
+
+def test_streaming_batches_bound_output_size(spark, tmp_path):
+    # many records in one archive must emit MULTIPLE bounded RecordBatches
+    # (peak memory contract), while the row total stays exact
+    import manga_ocr_spark.sources.warc as W
+
+    seg = tmp_path / "big"
+    seg.mkdir()
+    n = 150
+    recs = [
+        _record(
+            "response",
+            f"https://b/{i}",
+            _http_response(f"<p>doc {i} words</p>".encode()),
+            "application/http",
+        )
+        for i in range(n)
+    ]
+    (seg / "seg.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    old = W._BATCH_PAGES
+    W._BATCH_PAGES = 40  # force several flushes
+    try:
+        out = pages_from_warc(spark, str(seg)).collect()
+    finally:
+        W._BATCH_PAGES = old
+    assert len(out) == n
+    assert sorted(r.url for r in out) == sorted(f"https://b/{i}" for i in range(n))
