@@ -328,3 +328,12 @@ def test_pdf_header_after_preamble_junk():
     html = b"<html><body><p>the %PDF-1.5 header marks pdf files</p></body></html>"
     assert sniff_pdf(html) == -1
     assert extract(html).text == "the %PDF-1.5 header marks pdf files"
+
+
+def test_pdf_without_xref_or_trailer_still_extracts():
+    # crawl PDFs routinely have broken/absent xref sections; the robust
+    # object scan must not depend on them at all
+    data = _simple_pdf(b"BT /F1 12 Tf (no xref needed) Tj ET")
+    cut = data[: data.find(b"\nxref")]  # drop xref + trailer + EOF marker
+    assert b"trailer" not in cut
+    assert extract_pdf_lines(cut) == ["no xref needed"]

@@ -169,3 +169,13 @@ def test_extract_corpus_has_no_global_sort(spark):
     # be pure shuffle+sort cost at scale
     plan = _plan(E.queries()["extract_corpus"](spark, SF_DIR))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_quality_panel_repetition_joins_are_sane(spark):
+    # the repetition signals add two explode->count->max subtrees; pin
+    # that they aggregate map-side (partial_count before the shuffle) and
+    # never degenerate into a cartesian/nested-loop join
+    plan = _plan(E.queries()["quality_scores"](spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
