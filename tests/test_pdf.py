@@ -337,3 +337,28 @@ def test_pdf_without_xref_or_trailer_still_extracts():
     cut = data[: data.find(b"\nxref")]  # drop xref + trailer + EOF marker
     assert b"trailer" not in cut
     assert extract_pdf_lines(cut) == ["no xref needed"]
+
+
+def test_pdf_random_mutations_never_raise():
+    # same hostile-crawl guarantee for the PDF tier: arbitrary corruption
+    # must degrade to None/partial text, never an exception
+    import random
+
+    rng = random.Random(20250817)
+    base = _simple_pdf(
+        b"BT /F1 12 Tf (fuzz target text) Tj 0 -14 Td [(with) -250 (array)] TJ ET"
+    )
+    for trial in range(80):
+        data = bytearray(base)
+        kind = trial % 3
+        if kind == 0:
+            for _ in range(rng.randint(1, 6)):
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        elif kind == 1:
+            data = data[: rng.randrange(len(data))]
+        else:
+            chunk = bytes(rng.randrange(256) for _ in range(rng.randint(1, 80)))
+            at = rng.randrange(len(data))
+            data = data[:at] + chunk + data[at:]
+        out = extract_pdf_lines(bytes(data))
+        assert out is None or isinstance(out, list)

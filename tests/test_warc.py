@@ -289,3 +289,32 @@ def test_streaming_batches_bound_output_size(spark, tmp_path):
         W._BATCH_PAGES = old
     assert len(out) == n
     assert sorted(r.url for r in out) == sorted(f"https://b/{i}" for i in range(n))
+
+
+def test_warc_random_mutations_never_raise():
+    # hostile-crawl guarantee: random byte flips / truncations / splices
+    # over a valid archive must never raise out of the record walk — a
+    # single bad file cannot be allowed to kill a Spark task
+    import random
+
+    rng = random.Random(20250817)
+    recs = _sample_records(4)
+    base_plain = b"".join(recs)
+    base_gz = b"".join(gzip.compress(r) for r in recs)
+    for base in (base_plain, base_gz):
+        for trial in range(60):
+            data = bytearray(base)
+            kind = trial % 3
+            if kind == 0:  # flip up to 4 bytes
+                for _ in range(rng.randint(1, 4)):
+                    data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            elif kind == 1:  # truncate anywhere
+                data = data[: rng.randrange(len(data))]
+            else:  # splice a random chunk into a random offset
+                chunk = bytes(rng.randrange(256) for _ in range(rng.randint(1, 64)))
+                at = rng.randrange(len(data))
+                data = data[:at] + chunk + data[at:]
+            for _h, _c in iter_warc_records(bytes(data)):
+                pass
+            for _p in warc_pages(bytes(data)):
+                pass
