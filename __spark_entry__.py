@@ -315,17 +315,10 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     language id, and the Gopher-style repetition signals (most-frequent
     unigram/bigram occupancy — Rae et al. 2021's repetition filters) —
     the full filter-stage feature vector in one query."""
-    d = _t(spark, sf_dir, "documents")
-    panel = d.select(
-        "doc_id",
-        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        T.mean_token_len(F.col("text")).alias("mean_token_len"),
-        T.alpha_ratio(F.col("text")).alias("alpha_ratio"),
-        T.quality_score(F.col("text")).alias("quality"),
-        T.lang_id(F.col("text")).alias("lang_pred"),
-    )
-    return panel.join(T.repetition_stats(d), "doc_id")
+    # every column is a pure expression — one scan, ZERO shuffles/joins
+    # (plan-pinned), incl. the repetition fractions (sort + longest-
+    # equal-run fold, operators/text.py::top_gram_frac)
+    return T.quality_panel(_t(spark, sf_dir, "documents"))
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,7 +148,12 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
             emb.filter(F.col("vec_id") < 20), emb, k=10, dim=64, bits=4, bands=16
         ),
         "token_stats": lambda: E._q_token_stats(spark, sf_dir),
-        "quality_scores": lambda: E._q_quality(spark, sf_dir),
+        # shuffle-free expression panel: fed from the repartitioned docs
+        # frame like the other CPU-bound stages (the raw sf parquet is a
+        # single split — with no shuffle in the plan nothing else would
+        # spread the per-doc expression work over cores; at 100 TB the
+        # scan's ~800k splits do it)
+        "quality_scores": lambda: T.quality_panel(docs),
         "lang_id": lambda: docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred")),
         "media_meta": lambda: E._q_media_meta(spark, sf_dir),
     }

@@ -141,6 +141,61 @@ def word_bigrams(col: Column) -> Column:
     return F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
 
 
+def top_gram_frac(grams: Column) -> Column:
+    """Fraction of an n-gram array taken by its most frequent element —
+    computed SHUFFLE-FREE as a pure codegen expression: sort the array,
+    then fold for the longest run of equal adjacent elements (= max
+    multiplicity). O(n log n) per doc JVM-side, no explode, no join —
+    strictly cheaper at 10^12 docs than the explode->count->max shape
+    (and NOT the per-doc quadratic ``transform(distinct, count)`` form).
+    0.0 for empty/NULL arrays (coalesced by the caller)."""
+    sg = F.array_sort(grams)
+    state = F.aggregate(
+        sg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)).alias(
+                "run"
+            ),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return F.round(state["best"] / F.greatest(F.size(grams), F.lit(1)), 6)
+
+
+def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
+    """The full per-doc text-analysis feature vector in ONE pass: token
+    count, stopword/alpha ratios, mean token length, composite quality,
+    marker-word lang-id, and the Gopher repetition fractions. Every
+    column is a pure expression — a single scan, zero shuffles/joins
+    (plan-pinned by tests/test_plans.py). Shared by the driver query and
+    bench so both measure the same plan."""
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    uni = F.filter(tokens(trimmed), lambda t: F.length(t) > 0)
+    return df.select(
+        F.col(id_col),
+        token_count(text).cast("long").alias("n_tokens"),
+        stopword_ratio(text).alias("stopword_ratio"),
+        mean_token_len(text).alias("mean_token_len"),
+        alpha_ratio(text).alias("alpha_ratio"),
+        quality_score(text).alias("quality"),
+        lang_id(text).alias("lang_pred"),
+        F.coalesce(top_gram_frac(uni), F.lit(0.0)).alias("top_unigram_frac"),
+        F.coalesce(top_gram_frac(word_bigrams(trimmed)), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher-style repetition signals per document (Rae et al. 2021,
     public): fraction of tokens taken by the most frequent token
@@ -149,31 +204,17 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     boilerplate/spam/keyword-stuffing pages a training-data pipeline
     drops.
 
-    Shape: explode -> count -> per-doc max — O(n log n) with ordinary
-    shuffles, NOT the per-doc quadratic ``transform(distinct, count)``
-    expression form, which would blow up on the 2 MB pages the ingest cap
-    allows. Output: (id, top_unigram_frac, top_bigram_frac), 0.0 for
-    docs too short to have the n-gram (matching SQL's no-rows -> NULL ->
-    coalesce(0)).
+    Pure column expressions (:func:`top_gram_frac`) — the whole panel
+    stays inside whole-stage codegen with zero shuffles and zero joins
+    (plan-pinned by tests/test_plans.py). Output: (id, top_unigram_frac,
+    top_bigram_frac), 0.0 for docs too short to have the n-gram.
     """
-
-    def top_frac(grams_col: Column, out_name: str):
-        g = df.select(F.col(id_col).alias("id"), F.explode(grams_col).alias("g"))
-        counts = g.groupBy("id", "g").agg(F.count("*").alias("c"))
-        return counts.groupBy("id").agg(
-            F.round(F.max("c") / F.sum("c"), 6).alias(out_name)
-        )
-
     text = F.trim(F.col(text_col))
-    uni = top_frac(F.filter(tokens(text), lambda t: F.length(t) > 0), "top_unigram_frac")
-    bi = top_frac(word_bigrams(text), "top_bigram_frac")
-    base = df.select(F.col(id_col).alias("id"))
-    return (
-        base.join(uni, "id", "left")
-        .join(bi, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("top_unigram_frac", F.lit(0.0)).alias("top_unigram_frac"),
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-        )
+    uni = F.filter(tokens(text), lambda t: F.length(t) > 0)
+    return df.select(
+        F.col(id_col),
+        F.coalesce(top_gram_frac(uni), F.lit(0.0)).alias("top_unigram_frac"),
+        F.coalesce(top_gram_frac(word_bigrams(text)), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
     )

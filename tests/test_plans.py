@@ -171,11 +171,10 @@ def test_extract_corpus_has_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower()
 
 
-def test_quality_panel_repetition_joins_are_sane(spark):
-    # the repetition signals add two explode->count->max subtrees; pin
-    # that they aggregate map-side (partial_count before the shuffle) and
-    # never degenerate into a cartesian/nested-loop join
+def test_quality_panel_is_one_shuffle_free_scan(spark):
+    # the full text-analysis panel — including the Gopher repetition
+    # fractions (sort + longest-run fold) — must stay a single scan of
+    # pure codegen expressions: no Exchange, no join, anywhere
     plan = _plan(E.queries()["quality_scores"](spark, SF_DIR))
-    assert "partial_count" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
