@@ -73,6 +73,50 @@ def join_blocks(blocks: list[str]) -> str:
     return "\n".join(b for b in blocks if b)
 
 
+# WHATWG-ish encoding label aliases -> Python codecs. iso-8859-1 maps to
+# windows-1252 DELIBERATELY (the WHATWG encoding standard's rule: web
+# servers claiming latin-1 ship cp1252 bytes — 0x80-0x9F are smart quotes,
+# not C1 controls). Only codecs the stdlib ships; unknown labels fall back
+# to the default chain.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "cp1252", "latin-1": "cp1252", "latin1": "cp1252",
+    "windows-1252": "cp1252", "cp1252": "cp1252", "ascii": "cp1252",
+    "us-ascii": "cp1252",
+    "iso-8859-2": "iso8859-2", "windows-1250": "cp1250",
+    "iso-8859-15": "iso8859-15",
+    "windows-1251": "cp1251", "koi8-r": "koi8-r",
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "windows-31j": "cp932", "cp932": "cp932",
+    "euc-jp": "euc-jp", "eucjp": "euc-jp",
+    "gb2312": "gb18030", "gbk": "gb18030", "gb18030": "gb18030",
+    "big5": "big5", "big5-hkscs": "big5hkscs",
+    "euc-kr": "euc-kr", "ks_c_5601-1987": "euc-kr",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]{0,256}?charset\s*=\s*["']?\s*([A-Za-z0-9._:-]{2,32})""",
+    re.I,
+)
+
+
+def sniff_charset(payload: bytes) -> str | None:
+    """Declared encoding of an HTML payload, from BOM or a <meta> tag in
+    the first 1024 bytes (the WHATWG prescan window); None if undeclared
+    or unknown. Deterministic — no statistical guessing."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if payload[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if payload[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    m = _META_CHARSET.search(payload[:1024])
+    if m:
+        return _CHARSET_ALIASES.get(m.group(1).decode("ascii", "ignore").lower())
+    return None
+
+
 def decode_html(payload: bytes | bytearray | None, max_bytes: int = 2_000_000) -> str:
     """Decode an html payload to str; never raises.
 
@@ -81,11 +125,29 @@ def decode_html(payload: bytes | bytearray | None, max_bytes: int = 2_000_000) -
       input-size cap — the analogue of the reference's per-render 30 s
       timeout, renderer.py:233-239; wall-clock timeouts don't compose with
       Arrow batches, size caps do. SURVEY.md §4 X7).
-    - Invalid UTF-8 decodes with U+FFFD replacement (bad-row tolerance,
-      run.py:207-212 analogue).
+    - Charset: BOM or <meta charset> declaration in the first 1024 bytes
+      (WHATWG prescan) wins; otherwise STRICT UTF-8 is tried — if the
+      bytes are valid UTF-8 the result is identical to the old
+      utf-8/replace behavior on every such input — and invalid UTF-8
+      falls back to windows-1252 (the web's de-facto default, under which
+      every byte sequence is decodable) instead of U+FFFD mojibake. A
+      strict-UTF-8 failure ONLY in the final 3 bytes is treated as a
+      truncation artifact of the size cap, not evidence of cp1252.
+    - Declared-charset decode errors degrade per character (replace),
+      bad-row tolerance (run.py:207-212 analogue).
     """
     if not payload:
         return ""
     if len(payload) > max_bytes:
         payload = payload[:max_bytes]
-    return bytes(payload).decode("utf-8", errors="replace")
+    data = bytes(payload)
+    enc = sniff_charset(data)
+    if enc is not None:
+        return data.decode(enc, errors="replace")
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError as e:
+        if e.start >= len(data) - 3:
+            # multibyte char split by the size cap: keep the valid prefix
+            return data[: e.start].decode("utf-8", errors="replace")
+        return data.decode("cp1252", errors="replace")

@@ -69,10 +69,56 @@ def test_decode_html_tolerance() -> None:
     assert decode_html(None) == ""
     assert decode_html(b"") == ""
     assert decode_html(b"ok") == "ok"
-    # invalid utf-8 -> U+FFFD, never raises (run.py:207-212 analogue)
-    assert "�" in decode_html(b"\xff\xfe<p>x</p>")
+    # undecodable bytes degrade per character, never raise (run.py:207-212
+    # analogue): 0x81 is unmapped even in the cp1252 fallback
+    assert "�" in decode_html(b"\x81\x8d<p>x</p>")
+    # (b"\xff\xfe..." is now correctly read as a UTF-16-LE BOM — see
+    # test_decode_html_charset_sniffing)
     # size cap truncates (X7)
     big = b"a" * 100
     assert decode_html(big, max_bytes=10) == "a" * 10
     # bytearray accepted
     assert decode_html(bytearray(b"abc")) == "abc"
+
+
+def test_decode_html_charset_sniffing():
+    from manga_ocr_spark.extraction.normalize import decode_html, sniff_charset
+
+    # valid UTF-8 without declaration: byte-identical to the old behavior
+    assert decode_html("héllo wörld".encode()) == "héllo wörld"
+    # undeclared cp1252 bytes (the web default): no more U+FFFD mojibake
+    assert decode_html(b"caf\xe9 \x93quoted\x94") == "café “quoted”"
+    # declared shift_jis
+    sjis = "<html><meta charset=shift_jis><p>日本語テスト</p>".encode("cp932")
+    assert "日本語テスト" in decode_html(sjis)
+    # WHATWG rule: latin-1 label means windows-1252
+    latin = b"<meta charset='iso-8859-1'><p>a \x93b\x94 c</p>"
+    assert "“b”" in decode_html(latin)
+    # BOMs win over everything
+    assert decode_html("bom text".encode("utf-8-sig")) == "bom text"
+    assert decode_html("utf16 text".encode("utf-16-le"), 1000)[:5] != "\x00u"
+    assert "utf16 text" in decode_html(b"\xff\xfe" + "utf16 text".encode("utf-16-le")[0:])
+    # unknown label falls back to the utf-8 -> cp1252 chain
+    assert decode_html(b"<meta charset=klingon-8>plain ascii") == "<meta charset=klingon-8>plain ascii"
+    assert sniff_charset(b"<meta charset=klingon-8>") is None
+
+
+def test_decode_html_truncation_mid_multibyte_keeps_utf8():
+    from manga_ocr_spark.extraction.normalize import decode_html
+
+    # the size cap can split a multibyte char; that must NOT flip the whole
+    # (valid utf-8) document to cp1252
+    body = ("ascii start " + "ü" * 50).encode()
+    cut_at = len(body) - 1  # splits the final 2-byte ü
+    out = decode_html(body, max_bytes=cut_at)
+    assert out.startswith("ascii start ü")
+    assert "\xfc" not in out.encode("ascii", "backslashreplace").decode()  # no cp1252 ü-run misread
+    assert "Ã" not in out  # the classic utf8-as-cp1252 mojibake marker
+
+
+def test_extract_end_to_end_cp1252_page():
+    from manga_ocr_spark.extraction.core import extract
+
+    page = b"<html><body><p>r\xe9sum\xe9 and \x93smart quotes\x94 here</p></body></html>"
+    res = extract(page)
+    assert res.text == "résumé and “smart quotes” here"
