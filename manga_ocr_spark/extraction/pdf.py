@@ -20,9 +20,10 @@ Scope:
   (``/Type /ObjStm``) are unpacked the same way; their entries only fill
   object numbers not seen as direct objects.
 - **filters**: FlateDecode (with PNG predictors 10-15 — ``/Columns``,
-  8-bit, 1 color), ASCIIHexDecode, ASCII85Decode, chained filter arrays.
-  LZW and the image-only filters are not decoded (their streams are
-  simply skipped — they never carry content text in practice).
+  8-bit, 1 color), LZWDecode (the TIFF early-change variant, 9->12-bit
+  codes), ASCIIHexDecode, ASCII85Decode, chained filter arrays. The
+  image-only filters (DCT/JBIG2/JPX/CCITT/RunLength) are not decoded —
+  their streams never carry content text.
 - **pages**: catalog -> ``/Pages`` tree walk for true page order, falling
   back to document order of ``/Type /Page`` objects.
 - **text**: a content-stream interpreter for the text operators: BT/ET,
@@ -304,6 +305,48 @@ def _ascii85(data: bytes) -> bytes:
     return base64.a85decode(data)
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000 §7.4.4 — the TIFF variant): variable-width
+    codes 9->12 bits MSB-first, clear code 256, EOD 257, code width grows
+    ONE CODE EARLY (the "early change" the spec mandates, EarlyChange=1)."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return bytes(out)  # corrupt: emit what we have
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # early change: the encoder bumps width when ITS next_code hits
+            # 2^w - 1; the decoder's table is one entry behind (classic LZW
+            # lag), so the matching condition here is len + 2
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _decode_stream(s: _Stream, resolve) -> bytes | None:
     filters = resolve(s.d.get("Filter"))
     parms = resolve(s.d.get("DecodeParms"))
@@ -335,8 +378,10 @@ def _decode_stream(s: _Stream, resolve) -> bytes | None:
                 data = _ascii85(data)
             except Exception:
                 return None
+        elif f == "LZWDecode":
+            data = _lzw_decode(data)
         else:
-            return None  # LZW / image filters: not text-bearing
+            return None  # image-only filters: not text-bearing
         pm = resolve(pm)
         if isinstance(pm, dict):
             pred = resolve(pm.get("Predictor", 1))

@@ -362,3 +362,75 @@ def test_pdf_random_mutations_never_raise():
             data = data[:at] + chunk + data[at:]
         out = extract_pdf_lines(bytes(data))
         assert out is None or isinstance(out, list)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent PDF/TIFF LZW encoder (early change) for round-trips."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4095:  # table full: reset like real encoders
+            emit(CLEAR, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(EOD, width)
+    if nbits:
+        emit(0, 8 - nbits)  # pad
+    return bytes(out)
+
+
+def test_lzw_roundtrip_and_pdf_stream():
+    import random
+
+    from manga_ocr_spark.extraction.pdf import _lzw_decode
+
+    rng = random.Random(99)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaa",  # KwKwK case
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        bytes(rng.randrange(4) for _ in range(5000)),   # width growth to 12
+        bytes(rng.randrange(256) for _ in range(9000)), # table reset via CLEAR
+        (b"BT /F1 12 Tf (lzw page text) Tj ET ") * 40,
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data, data[:24]
+
+    # end to end: an LZW-compressed content stream extracts
+    content = b"BT /F1 12 Tf (lzw compressed stream) Tj ET"
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    w.stream(4, "/Filter /LZWDecode", _lzw_encode(content))
+    assert extract_pdf_lines(w.render()) == ["lzw compressed stream"]
