@@ -31,10 +31,12 @@ Scope:
   kerning gaps below ``TJ_SPACE_GAP`` insert a space). Inline images
   (BI..ID..EI) are skipped byte-exactly.
 - **encodings**: per-font ``/ToUnicode`` CMaps (codespacerange for the
-  code width, bfchar + bfrange incl. array destinations); simple fonts
-  without a CMap decode as Latin-1 (exact for the Standard-14 ASCII
-  range); composite fonts without a CMap yield nothing rather than
-  mojibake.
+  code width, bfchar + bfrange incl. array destinations); simple-font
+  ``/Encoding /Differences`` glyph-name remaps (AGL punctuation/digit
+  table, ``uniXXXX``/``uXXXXXX`` names, systematic accented-Latin names
+  via unicodedata) over a Latin-1 base; bare simple fonts decode as
+  Latin-1 (exact for the Standard-14 ASCII range); composite fonts
+  without a CMap yield nothing rather than mojibake.
 
 Never raises from :func:`extract_pdf_lines` — hostile input returns None
 (the caller's stub/failure tier), same contract as extraction/core.
@@ -515,8 +517,10 @@ class _Pdf:
 
     # -- fonts --------------------------------------------------------------
     def _font_decoder(self, font_dict):
-        """bytes -> str for one font: ToUnicode CMap if present, Latin-1
-        for simple fonts, None (undecodable) for bare composite fonts."""
+        """bytes -> str for one font: ToUnicode CMap if present, else an
+        /Encoding /Differences glyph-name remap over the Latin-1 base for
+        simple fonts, else plain Latin-1; None-emitting for bare
+        composite fonts (no mojibake)."""
         font = self.resolve(font_dict)
         if not isinstance(font, dict):
             return lambda bs: bs.decode("latin-1")
@@ -539,6 +543,29 @@ class _Pdf:
                     return via_cmap
         if str(self.resolve(font.get("Subtype"))) == "Type0":
             return lambda bs: ""  # composite without CMap: no mojibake
+        enc = self.resolve(font.get("Encoding"))
+        if isinstance(enc, dict):
+            diffs = self.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                remap: dict[int, str] = {}
+                code = 0
+                for item in diffs:
+                    item = self.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, _Name):
+                        ch = _glyph_to_unicode(str(item))
+                        if ch is not None:
+                            remap[code] = ch
+                        code += 1
+                if remap:
+
+                    def via_diffs(bs: bytes, _r=remap) -> str:
+                        return "".join(
+                            _r.get(b, bytes([b]).decode("latin-1")) for b in bs
+                        )
+
+                    return via_diffs
         return lambda bs: bs.decode("latin-1")
 
     def _res_fonts(self, res) -> dict[str, object]:
@@ -576,6 +603,81 @@ class _Pdf:
                 if data:
                     parts.append(data)
         return b"\n".join(parts)
+
+
+# Adobe-Glyph-List names for ASCII punctuation/digits (the names every
+# /Differences array uses); letters map by their literal one-char names.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "ellipsis": "…",
+    "bullet": "•", "dagger": "†", "daggerdbl": "‡",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "copyright": "©", "registered": "®",
+    "trademark": "™", "degree": "°", "plusminus": "±",
+    "section": "§", "paragraph": "¶", "middot": "·",
+    "periodcentered": "·", "germandbls": "ß",
+    "exclamdown": "¡", "questiondown": "¿", "ae": "æ",
+    "AE": "Æ", "oslash": "ø", "Oslash": "Ø",
+    "oe": "œ", "OE": "Œ", "eth": "ð", "Eth": "Ð",
+    "thorn": "þ", "Thorn": "Þ", "dotlessi": "ı",
+    "fi": "ﬁ", "fl": "ﬂ", "florin": "ƒ",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "perthousand": "‰", "minus": "−", "fraction": "⁄",
+    "nbspace": " ", "multiply": "×", "divide": "÷",
+}
+# accent-suffix -> Unicode name fragment for composed Latin glyph names
+# like "eacute" / "Ntilde" (AGL's systematic family)
+_ACCENT_SUFFIX = {
+    "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+    "dieresis": "DIAERESIS", "tilde": "TILDE", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "caron": "CARON", "breve": "BREVE",
+    "macron": "MACRON", "ogonek": "OGONEK", "hungarumlaut": "DOUBLE ACUTE",
+    "dotaccent": "DOT ABOVE", "slash": "STROKE",
+}
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Adobe glyph name -> character: literal one-char names, the common
+    AGL table above, uniXXXX / uXXXX[XX], and systematic accented-Latin
+    names (base letter + accent suffix) via unicodedata lookup."""
+    if len(name) == 1:
+        return name
+    hit = _GLYPH_NAMES.get(name)
+    if hit is not None:
+        return hit
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name) or re.fullmatch(
+        r"u([0-9A-Fa-f]{4,6})", name
+    )
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp < 0x110000 else None
+    m = re.fullmatch(r"([A-Za-z])([a-z]+)", name)
+    if m and m.group(2) in _ACCENT_SUFFIX:
+        import unicodedata
+
+        base = m.group(1)
+        case = "CAPITAL" if base.isupper() else "SMALL"
+        try:
+            return unicodedata.lookup(
+                f"LATIN {case} LETTER {base.upper()} WITH {_ACCENT_SUFFIX[m.group(2)]}"
+            )
+        except KeyError:
+            return None
+    return None
 
 
 def _parse_tounicode(data: bytes):

@@ -434,3 +434,41 @@ def test_lzw_roundtrip_and_pdf_stream():
     w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
     w.stream(4, "/Filter /LZWDecode", _lzw_encode(content))
     assert extract_pdf_lines(w.render()) == ["lzw compressed stream"]
+
+
+def test_encoding_differences_glyph_names():
+    # pre-Unicode simple fonts remap codes via /Encoding /Differences;
+    # names resolve through the AGL table, uniXXXX, and the systematic
+    # accented-Latin family
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+        b" /Contents 4 0 R >>",
+    )
+    # codes: 0x80 -> eacute, 0x81 -> Euro, 0x82 -> uni0394 (Delta),
+    #        0x90 -> Ntilde, 'A'..'z' untouched (latin-1 base)
+    w.put(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding"
+        b" << /Differences [ 128 /eacute /Euro /uni0394 144 /Ntilde ] >> >>",
+    )
+    w.stream(4, "", b"BT /F1 12 Tf (caf\x80 \x81 5 \x82x \x90B plain) Tj ET")
+    assert extract_pdf_lines(w.render()) == ["café € 5 Δx ÑB plain"]
+
+
+def test_glyph_name_resolver_table():
+    from manga_ocr_spark.extraction.pdf import _glyph_to_unicode
+
+    assert _glyph_to_unicode("A") == "A"
+    assert _glyph_to_unicode("space") == " "
+    assert _glyph_to_unicode("seven") == "7"
+    assert _glyph_to_unicode("quotedblleft") == "“"
+    assert _glyph_to_unicode("uni00E9") == "é"
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("eacute") == "é"
+    assert _glyph_to_unicode("Odieresis") == "Ö"
+    assert _glyph_to_unicode("ccedilla") == "ç"
+    assert _glyph_to_unicode("nosuchglyphname") is None
