@@ -979,15 +979,19 @@ from buckets a join buckets b
         pat = r"\b(" + "|".join(words) + r")\b"
         return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
+    # generated from T.LANG_MARKERS so adding a language updates BOTH the
+    # Spark expression (operators/text.py::lang_id) and this oracle in
+    # lockstep; the WHEN order mirrors lang_id's tie-break (earlier
+    # languages win ties)
     c = {lang: _marker(ws) for lang, ws in T.LANG_MARKERS.items()}
-    lang_case = f"""
-        case
-          when {c['en']} > 0 and {c['en']} >= {c['de']} and {c['en']} >= {c['fr']} and {c['en']} >= {c['es']} then 'en'
-          when {c['de']} > 0 and {c['de']} >= {c['fr']} and {c['de']} >= {c['es']} then 'de'
-          when {c['fr']} > 0 and {c['fr']} >= {c['es']} then 'fr'
-          when {c['es']} > 0 then 'es'
-          else 'und'
-        end"""
+    langs = list(T.LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{c[lang]} > 0"] + [
+            f"{c[lang]} >= {c[other]}" for other in langs[i + 1 :]
+        ]
+        whens.append(f"when {' and '.join(conds)} then '{lang}'")
+    lang_case = "\n        case\n          " + "\n          ".join(whens) + "\n          else 'und'\n        end"
 
     shingle5 = (
         "list_distinct(list_transform("

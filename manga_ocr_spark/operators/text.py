@@ -20,12 +20,19 @@ from pyspark.sql import Column, functions as F
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
 # marker words per language for the n-gram/marker lang-id heuristic;
-# deterministic and SQL-expressible on both engines.
+# deterministic and SQL-expressible on both engines (the oracle CASE is
+# GENERATED from this dict in __spark_entry__, so adding a language
+# updates both sides in lockstep). ASCII-only markers keep Java and RE2
+# \b semantics identical; dict order is the tie-break (earlier wins).
 LANG_MARKERS = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),
     "fr": ("le", "la", "et"),
     "es": ("el", "los", "que"),
+    "it": ("il", "che", "sono"),
+    "pt": ("uma", "isso", "muito"),
+    "nl": ("het", "een", "niet"),
+    "sv": ("och", "det", "som"),
 }
 
 

@@ -423,3 +423,19 @@ def test_repetition_stats_handcomputed(spark):
     assert out[3].top_unigram_frac == 1.0 and out[3].top_bigram_frac == 1.0
     assert out[4].top_unigram_frac == round(1 / 6, 6)
     assert out[4].top_bigram_frac == round(1 / 5, 6)
+
+
+def test_lang_id_extended_languages(spark):
+    texts = {
+        0: "il gatto che dorme sono felice",        # it
+        1: "isso e muito bom para uma pessoa",       # pt
+        2: "het is een mooie dag niet waar",         # nl
+        3: "det var som om och sedan",               # sv
+        4: "the cat and the dog of mine",            # en still wins ties
+        5: "xyzzy plugh",                            # und
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {0: "it", 1: "pt", 2: "nl", 3: "sv", 4: "en", 5: "und"}
