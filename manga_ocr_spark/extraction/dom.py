@@ -263,6 +263,10 @@ _TOKEN_RE = re.compile(
     r"""<!--.*?(?:-->|$)              # comment (unterminated: to EOF)
       | <!\[CDATA\[.*?(?:\]\]>|$)     # cdata
       | <![^>]*>                      # doctype / declarations
+      | <\?[^>]*>                     # processing instruction (<?xml ...?>)
+                                      # — html.parser's handle_pi drops it;
+                                      # an UNTERMINATED <? stays text (also
+                                      # html.parser's close() behavior)
       | <(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:[^>"']|"[^"]*"|'[^']*')*)>
     """,
     re.DOTALL | re.VERBOSE,

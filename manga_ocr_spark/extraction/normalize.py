@@ -107,10 +107,11 @@ def sniff_charset(payload: bytes) -> str | None:
     or unknown. Deterministic — no statistical guessing."""
     if payload[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
-    if payload[:2] == b"\xff\xfe":
-        return "utf-16-le"
-    if payload[:2] == b"\xfe\xff":
-        return "utf-16-be"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # the BOM-CONSUMING codec: 'utf-16-le'/'-be' would leak a literal
+        # U+FEFF into the document (it survives normalization and would
+        # perturb fingerprints/token stats)
+        return "utf-16"
     m = _META_CHARSET.search(payload[:1024])
     if m:
         return _CHARSET_ALIASES.get(m.group(1).decode("ascii", "ignore").lower())
@@ -138,7 +139,8 @@ def decode_html(payload: bytes | bytearray | None, max_bytes: int = 2_000_000) -
     """
     if not payload:
         return ""
-    if len(payload) > max_bytes:
+    truncated = len(payload) > max_bytes
+    if truncated:
         payload = payload[:max_bytes]
     data = bytes(payload)
     enc = sniff_charset(data)
@@ -147,7 +149,10 @@ def decode_html(payload: bytes | bytearray | None, max_bytes: int = 2_000_000) -
     try:
         return data.decode("utf-8")
     except UnicodeDecodeError as e:
-        if e.start >= len(data) - 3:
-            # multibyte char split by the size cap: keep the valid prefix
+        if truncated and e.start >= len(data) - 3:
+            # multibyte char split by the size cap: keep the valid
+            # prefix. ONLY when the cap actually cut the payload — an
+            # untruncated page whose sole non-ascii byte sits near the
+            # end is genuine cp1252, not a truncation artifact
             return data[: e.start].decode("utf-8", errors="replace")
         return data.decode("cp1252", errors="replace")

@@ -55,6 +55,10 @@ _DELIM = b"()<>[]{}/%"
 # rendered as a word space; -180 is the conventional extractor threshold
 TJ_SPACE_GAP = -180
 
+# per-stream decompression expansion cap: a small crafted Flate/LZW
+# stream can inflate to GBs; past this it is treated as corrupt
+_INFLATE_CAP = 256 << 20
+
 
 class _Ref:
     __slots__ = ("num",)
@@ -338,6 +342,8 @@ def _lzw_decode(data: bytes) -> bytes:
             else:
                 return bytes(out)  # corrupt: emit what we have
             out += entry
+            if len(out) > _INFLATE_CAP:
+                return bytes(out)  # expansion bomb: stop here
             if prev is not None:
                 table.append(prev + entry[:1])
             prev = entry
@@ -364,12 +370,12 @@ def _decode_stream(s: _Stream, resolve) -> bytes | None:
         f = str(f)
         if f == "FlateDecode":
             try:
-                data = zlib.decompress(data)
+                d = zlib.decompressobj()
+                data = d.decompress(data, _INFLATE_CAP)
+                if d.unconsumed_tail:
+                    return None  # decompression bomb: drop the stream
             except zlib.error:
-                try:
-                    data = zlib.decompressobj().decompress(data)
-                except zlib.error:
-                    return None
+                return None
         elif f == "ASCIIHexDecode":
             hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
             if len(hx) % 2:
@@ -491,7 +497,7 @@ class _Pdf:
         if catalog is not None:
             seen: set[int] = set()
 
-            def walk(node_ref) -> None:
+            def walk(node_ref, inherited_res) -> None:
                 node = self.resolve(node_ref)
                 if isinstance(node_ref, _Ref):
                     if node_ref.num in seen:
@@ -499,16 +505,24 @@ class _Pdf:
                     seen.add(node_ref.num)
                 if not isinstance(node, dict):
                     return
+                # /Resources is INHERITABLE (ISO 32000 §7.7.3.4): a page
+                # without its own entry uses the closest ancestor's —
+                # common in real PDFs that hoist fonts onto the root
+                # /Pages node
+                res = node.get("Resources", inherited_res)
                 t = str(self.resolve(node.get("Type")))
                 if t == "Page":
+                    if "Resources" not in node and res is not None:
+                        node = dict(node)
+                        node["Resources"] = res
                     pages.append(node)
                 else:
                     kids = self.resolve(node.get("Kids"))
                     if isinstance(kids, list):
                         for k in kids:
-                            walk(k)
+                            walk(k, res)
 
-            walk(catalog.get("Pages"))
+            walk(catalog.get("Pages"), None)
         if not pages:  # fallback: document order
             for o in self.objects.values():
                 if isinstance(o, dict) and str(self.resolve(o.get("Type"))) == "Page":
@@ -664,7 +678,9 @@ def _glyph_to_unicode(name: str) -> str | None:
     )
     if m:
         cp = int(m.group(1), 16)
-        return chr(cp) if cp < 0x110000 else None
+        if cp >= 0x110000 or 0xD800 <= cp <= 0xDFFF:  # incl. lone surrogates
+            return None
+        return chr(cp)
     m = re.fullmatch(r"([A-Za-z])([a-z]+)", name)
     if m and m.group(2) in _ACCENT_SUFFIX:
         import unicodedata
@@ -715,7 +731,13 @@ def _parse_tounicode(data: bytes):
             if m.group(3) is not None:  # scalar destination: consecutive
                 base = int(m.group(3), 16)
                 for off in range(hi_i - lo_i + 1):
-                    table[lo_i + off] = chr(base + off) if base + off < 0x110000 else ""
+                    cp = base + off
+                    # exclude lone surrogates: they would crash Arrow
+                    # serialization of the extracted text downstream
+                    if cp < 0x110000 and not (0xD800 <= cp <= 0xDFFF):
+                        table[lo_i + off] = chr(cp)
+                    else:
+                        table[lo_i + off] = ""
             else:  # array destination: one string per code
                 for off, dst in enumerate(re.findall(r"<([0-9A-Fa-f]+)>", m.group(4))):
                     table[lo_i + off] = u(dst)
@@ -820,8 +842,10 @@ def sniff_pdf(payload: bytes) -> int:
     idx = head.find(b"%PDF-")
     if idx < 0:
         return -1
-    pre = head[:idx].lower()
-    if b"<html" in pre or b"<!doctype" in pre or b"<body" in pre:
+    # ANY '<' in the preamble means markup (xhtml prolog, <head>, a
+    # fragment mentioning %PDF-): route to the HTML path. Legitimate
+    # pre-header junk (CGI preambles, BOMs, HTTP noise) contains none.
+    if b"<" in head[:idx]:
         return -1
     return idx
 

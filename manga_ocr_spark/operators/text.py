@@ -178,6 +178,21 @@ def top_gram_frac(grams: Column) -> Column:
     return F.round(state["best"] / F.greatest(F.size(grams), F.lit(1)), 6)
 
 
+def repetition_columns(text_col: str = "text") -> list[Column]:
+    """The two Gopher repetition fraction columns (aliased
+    top_unigram_frac / top_bigram_frac) — the ONE definition shared by
+    quality_panel and repetition_stats so the tested path and the shipped
+    path cannot drift."""
+    trimmed = F.trim(F.col(text_col))
+    uni = F.filter(tokens(trimmed), lambda t: F.length(t) > 0)
+    return [
+        F.coalesce(top_gram_frac(uni), F.lit(0.0)).alias("top_unigram_frac"),
+        F.coalesce(top_gram_frac(word_bigrams(trimmed)), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    ]
+
+
 def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     """The full per-doc text-analysis feature vector in ONE pass: token
     count, stopword/alpha ratios, mean token length, composite quality,
@@ -186,8 +201,6 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     (plan-pinned by tests/test_plans.py). Shared by the driver query and
     bench so both measure the same plan."""
     text = F.col(text_col)
-    trimmed = F.trim(text)
-    uni = F.filter(tokens(trimmed), lambda t: F.length(t) > 0)
     return df.select(
         F.col(id_col),
         token_count(text).cast("long").alias("n_tokens"),
@@ -196,10 +209,7 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         alpha_ratio(text).alias("alpha_ratio"),
         quality_score(text).alias("quality"),
         lang_id(text).alias("lang_pred"),
-        F.coalesce(top_gram_frac(uni), F.lit(0.0)).alias("top_unigram_frac"),
-        F.coalesce(top_gram_frac(word_bigrams(trimmed)), F.lit(0.0)).alias(
-            "top_bigram_frac"
-        ),
+        *repetition_columns(text_col),
     )
 
 
@@ -211,17 +221,10 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     boilerplate/spam/keyword-stuffing pages a training-data pipeline
     drops.
 
-    Pure column expressions (:func:`top_gram_frac`) — the whole panel
-    stays inside whole-stage codegen with zero shuffles and zero joins
-    (plan-pinned by tests/test_plans.py). Output: (id, top_unigram_frac,
-    top_bigram_frac), 0.0 for docs too short to have the n-gram.
+    Pure column expressions (:func:`top_gram_frac` via
+    :func:`repetition_columns` — the same definition quality_panel
+    ships) — zero shuffles and zero joins. Output: (id,
+    top_unigram_frac, top_bigram_frac), 0.0 for docs too short to have
+    the n-gram.
     """
-    text = F.trim(F.col(text_col))
-    uni = F.filter(tokens(text), lambda t: F.length(t) > 0)
-    return df.select(
-        F.col(id_col),
-        F.coalesce(top_gram_frac(uni), F.lit(0.0)).alias("top_unigram_frac"),
-        F.coalesce(top_gram_frac(word_bigrams(text)), F.lit(0.0)).alias(
-            "top_bigram_frac"
-        ),
-    )
+    return df.select(F.col(id_col), *repetition_columns(text_col))

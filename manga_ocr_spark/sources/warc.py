@@ -50,6 +50,7 @@ crawl segment listing and each file explodes into many work items.
 from __future__ import annotations
 
 import datetime as dt
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -58,21 +59,29 @@ from pyspark.sql import DataFrame, SparkSession
 _GZIP_MAGIC = b"\x1f\x8b"
 _BATCH_PAGES = 1024  # output RecordBatch flush thresholds
 _BATCH_BYTES = 64 << 20
+# expansion cap per decompression call: a crawled server (or a crafted
+# member) can ship a decompression bomb — a few MB inflating to GBs.
+# Anything past the cap is treated like corruption: keep the bounded
+# prefix, never materialize the bomb.
+_INFLATE_CAP = 256 << 20
 
 
 def _gunzip_member_iter(data: bytes) -> Iterator[bytes]:
-    """One decompressed chunk per gzip member; a corrupt member ends the
-    iteration (prefix preserved) instead of raising."""
+    """One decompressed chunk per gzip member; a corrupt member (or one
+    inflating past ``_INFLATE_CAP`` — a decompression bomb) ends the
+    iteration with the bounded prefix instead of raising/ballooning."""
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            chunk = d.decompress(data[pos:])
+            chunk = d.decompress(data[pos:], _INFLATE_CAP)
         except zlib.error:
             return
         if chunk:
             yield chunk
+        if d.unconsumed_tail:
+            return  # member exceeded the expansion cap: bomb — stop here
         tail = d.unused_data
         if not tail:
             return
@@ -128,6 +137,10 @@ def _parse_records(data: bytes, final: bool):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            return records, n, True
+        if length < 0:
+            # a negative length would make pos a FIXED POINT (infinite
+            # loop re-parsing the same record); structurally dead
             return records, n, True
         body_start = hdr_end + sep
         if body_start + length > n:
@@ -187,7 +200,9 @@ def _dechunk(body: bytes) -> bytes:
             size = int(size_tok, 16)
         except ValueError:
             break
-        if size == 0:
+        if size <= 0:
+            # 0 = terminator; NEGATIVE hex parses ("-5") but would walk
+            # pos backward into an infinite loop and slice garbage
             break
         start = nl + 1
         out += body[start : start + size]
@@ -221,7 +236,11 @@ def _http_body(content: bytes) -> bytes | None:
     if ce in ("gzip", "x-gzip", "deflate"):
         for wbits in (47, -15):
             try:
-                body = zlib.decompress(body, wbits)
+                d = zlib.decompressobj(wbits)
+                out = d.decompress(body, _INFLATE_CAP)
+                if d.unconsumed_tail:
+                    return None  # decompression bomb: drop the page
+                body = out
                 break
             except zlib.error:
                 continue
@@ -338,7 +357,31 @@ def pages_from_warc_ranges(
     def read_ranges(batches):
         from pyarrow import fs as pafs
 
-        filesystems: dict[str, object] = {}  # per-scheme cache, worker-lifetime
+        # filesystem objects cached per scheme://authority (an HDFS/S3
+        # client per cluster/bucket); the RESOLVED path always comes from
+        # FileSystem.from_uri — a naive scheme-split would keep the URI
+        # authority glued onto the path and break authority-bearing DFS
+        filesystems: dict[str, object] = {}
+
+        def open_range(path: str, offset: int, length: int) -> bytes:
+            if "://" in path:
+                key_m = re.match(r"^([a-z0-9+.-]+://[^/]*)", path, re.I)
+                key = key_m.group(1) if key_m else path
+                cached = filesystems.get(key)
+                filesystem, resolved = pafs.FileSystem.from_uri(path)
+                if cached is not None:
+                    filesystem = cached
+                else:
+                    filesystems[key] = filesystem
+            else:
+                filesystem = filesystems.get("file")
+                if filesystem is None:
+                    filesystem = pafs.LocalFileSystem()
+                    filesystems["file"] = filesystem
+                resolved = path
+            with filesystem.open_input_file(resolved) as f:
+                f.seek(offset)
+                return f.read(length)
 
         def pages():
             for batch in batches:
@@ -347,17 +390,10 @@ def pages_from_warc_ranges(
                     batch.column("offset").to_pylist(),
                     batch.column("length").to_pylist(),
                 ):
-                    scheme = path.split("://", 1)[0] if "://" in path else "file"
-                    filesystem = filesystems.get(scheme)
-                    if filesystem is None:
-                        filesystem, _ = pafs.FileSystem.from_uri(
-                            path if "://" in path else f"file://{path}"
-                        )
-                        filesystems[scheme] = filesystem
-                    resolved = path.split("://", 1)[1] if "://" in path else path
-                    with filesystem.open_input_file(resolved) as f:
-                        f.seek(offset)
-                        buf = f.read(length)
+                    try:
+                        buf = open_range(path, offset, length)
+                    except OSError:
+                        continue  # bad index row: skip, don't kill the task
                     yield from warc_pages(buf)
 
         yield from _page_batches(pages(), lang)

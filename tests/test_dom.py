@@ -168,6 +168,11 @@ def test_fast_scanner_matches_stdlib_on_adversarial_wellformed_pages():
         "<tbody><tr><td>a cell</td><td><a href='/t'>linked cell</a></td></tr></tbody></table>",
         # doctype + conditional-comment-looking comment + pre with markup-ish text
         "<!DOCTYPE html><!--[if IE]><p>ie only</p><![endif]--><pre>code < notag > here</pre>",
+        # processing instructions: terminated PIs drop (html.parser's
+        # handle_pi), an unterminated <? at EOF stays text — both paths
+        # must agree (found via the PDF-preamble work, round 3)
+        "<?xml version='1.0'?><p>after xml decl</p><?php echo 1; ?><p>after php</p>",
+        "<p>before</p><?broken pi with no close",
         # stray close tags of inline elements and unopened blocks
         "<p>alpha</b> beta</i></p></section><p>gamma</p>",
     ]

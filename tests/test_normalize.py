@@ -122,3 +122,17 @@ def test_extract_end_to_end_cp1252_page():
     page = b"<html><body><p>r\xe9sum\xe9 and \x93smart quotes\x94 here</p></body></html>"
     res = extract(page)
     assert res.text == "résumé and “smart quotes” here"
+
+
+def test_decode_html_third_review_regressions():
+    from manga_ocr_spark.extraction.normalize import decode_html
+
+    # untruncated cp1252 page whose only non-ascii byte is near the end:
+    # must decode via the cp1252 fallback, not be dropped as a
+    # "truncation artifact"
+    assert decode_html(b"hello caf\xe9") == "hello café"
+    # utf-16 BOM must be CONSUMED, not leak U+FEFF into the document
+    out = decode_html(b"\xff\xfe" + "ab".encode("utf-16-le"))
+    assert out == "ab"
+    out_be = decode_html(b"\xfe\xff" + "cd".encode("utf-16-be"))
+    assert out_be == "cd"

@@ -472,3 +472,71 @@ def test_glyph_name_resolver_table():
     assert _glyph_to_unicode("Odieresis") == "Ö"
     assert _glyph_to_unicode("ccedilla") == "ç"
     assert _glyph_to_unicode("nosuchglyphname") is None
+
+
+def test_surrogate_cmap_values_never_reach_output():
+    # third-review finding: lone UTF-16 surrogates from bfrange/uniXXXX
+    # would crash Arrow serialization downstream — they must be dropped
+    from manga_ocr_spark.extraction.pdf import _glyph_to_unicode
+
+    assert _glyph_to_unicode("uniD800") is None
+    cmap = b"1 begincodespacerange <00> <FF> endcodespacerange\n" \
+           b"1 beginbfrange <41> <43> <D800> endbfrange\nendcmap\n"
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(3, b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+             b" /Contents 4 0 R >>")
+    w.stream(4, "", b"BT /F1 12 Tf <414243> Tj (ok tail) Tj ET")
+    w.put(5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>")
+    w.stream(6, "", cmap)
+    # every code maps to a surrogate -> dropped -> nothing extractable;
+    # the critical property is NO surrogate ever reaches the output
+    lines = extract_pdf_lines(w.render())
+    for ln in lines or []:
+        ln.encode("utf-8")  # must be Arrow/utf-8 serializable
+    from manga_ocr_spark.extraction.pdf import _parse_tounicode
+
+    table, _w = _parse_tounicode(cmap)
+    assert all(not any(0xD800 <= ord(c) <= 0xDFFF for c in v) for v in table.values())
+
+
+def test_inherited_resources_from_pages_node():
+    # third-review finding: /Resources on the root /Pages node is
+    # inheritable; a kid /Page without its own entry must still decode
+    # through the inherited font map
+    cmap = (b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"2 beginbfchar <01> <0048> <02> <0069> endbfchar\nendcmap\n")
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+             b" /Resources << /Font << /F1 5 0 R >> >> >>")
+    w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")  # no Resources
+    w.stream(4, "", b"BT /F1 12 Tf <0102> Tj ET")
+    w.put(5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>")
+    w.stream(6, "", cmap)
+    assert extract_pdf_lines(w.render()) == ["Hi"]
+
+
+def test_markup_preamble_never_routes_to_pdf():
+    from manga_ocr_spark.extraction.core import extract
+    from manga_ocr_spark.extraction.pdf import sniff_pdf
+
+    xhtml = b'<?xml version="1.0"?><div><p>notes on %PDF-1.4 parsing</p></div>'
+    assert sniff_pdf(xhtml) == -1
+    assert extract(xhtml).text == "notes on %PDF-1.4 parsing"
+    head_frag = b"<head><title>%PDF- files</title></head><body><p>body words</p></body>"
+    assert sniff_pdf(head_frag) == -1
+
+
+def test_flate_bomb_dropped(monkeypatch):
+    import manga_ocr_spark.extraction.pdf as P
+
+    monkeypatch.setattr(P, "_INFLATE_CAP", 10_000)
+    bomb = zlib.compress(b"\x00" * 1_000_000)
+    w = PdfWriter()
+    w.put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    w.stream(4, "/Filter /FlateDecode", bomb)
+    assert extract_pdf_lines(w.render()) is None  # dropped, not inflated

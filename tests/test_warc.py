@@ -318,3 +318,39 @@ def test_warc_random_mutations_never_raise():
                 pass
             for _p in warc_pages(bytes(data)):
                 pass
+
+
+def test_hostile_lengths_terminate():
+    # third-review findings: negative Content-Length made pos a fixed
+    # point (infinite loop); negative chunked sizes walked backward
+    from manga_ocr_spark.sources.warc import _dechunk
+
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://n/1\r\n"
+        b"Content-Type: application/http\r\nContent-Length: -33\r\n\r\n"
+        + b"x" * 100
+    )
+    assert list(iter_warc_records(bad)) == []  # terminates, yields nothing
+    assert _dechunk(b"3\r\nabc\r\n-5\r\nxxxxxxxxxx") == b"abc"
+    assert _dechunk(b"-5\r\nhello world data") == b""
+
+
+def test_gzip_bomb_bounded(monkeypatch):
+    # a member inflating past the cap must stop with the bounded prefix,
+    # not materialize the bomb
+    import manga_ocr_spark.sources.warc as W
+
+    monkeypatch.setattr(W, "_INFLATE_CAP", 10_000)
+    rec_small = _record("response", "https://b/1", _http_response(b"<p>ok</p>"), "application/http")
+    bomb = gzip.compress(b"\x00" * 1_000_000)  # ~1000:1
+    data = gzip.compress(rec_small) + bomb
+    parsed = list(W.iter_warc_records(data))
+    assert len(parsed) == 1  # the good record; the bomb member is cut off
+
+    # content-encoding bomb drops the page, keeps the task alive
+    bomb_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + gzip.compress(b"A" * 1_000_000)
+    )
+    rec = _record("response", "https://b/2", bomb_http, "application/http")
+    assert list(W.warc_pages(rec)) == []
