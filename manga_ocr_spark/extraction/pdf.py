@@ -833,11 +833,20 @@ def _page_lines(
     return lines
 
 
+_PDF_STRUCTURE = re.compile(rb"\d+\s+\d+\s+obj\b|\bxref\b|\btrailer\b|\bstartxref\b")
+
+
 def sniff_pdf(payload: bytes) -> int:
     """Offset of the %PDF- header, or -1. ISO 32000 implementation notes
     allow junk before the header within the first 1024 bytes (CGI
     preambles, BOMs — common in crawled PDFs); an HTML-looking preamble
-    disqualifies (an HTML page merely MENTIONING %PDF- is not a PDF)."""
+    disqualifies (an HTML page merely MENTIONING %PDF- is not a PDF).
+
+    A header at a nonzero offset additionally requires PDF *structure*
+    after it (an ``N G obj`` / xref / trailer token in the buffer): a
+    plain-text crawl payload that merely mentions %PDF- early (a WET
+    record, a text file about PDF internals) must NOT be routed into the
+    PDF tier, where it would extract to nothing instead of its text."""
     head = bytes(payload[:1024])
     idx = head.find(b"%PDF-")
     if idx < 0:
@@ -846,6 +855,8 @@ def sniff_pdf(payload: bytes) -> int:
     # fragment mentioning %PDF-): route to the HTML path. Legitimate
     # pre-header junk (CGI preambles, BOMs, HTTP noise) contains none.
     if b"<" in head[:idx]:
+        return -1
+    if idx > 0 and not _PDF_STRUCTURE.search(head[idx:]):
         return -1
     return idx
 

@@ -179,23 +179,49 @@ def _commit_staging(spark: SparkSession, staging: str, table_dir: str) -> None:
     )
 
 
+def _bucket_digest(df: DataFrame, cols: list[str]) -> dict[int, tuple[int, int]]:
+    """Per-bucket (row_count, order-independent content-hash sum) — one
+    map-side-combined aggregation, driver result is |buckets| rows. The
+    per-row hash is bounded to 2^31 so summing 2^29 rows/bucket stays far
+    inside int64 (no overflow-wrap ambiguity between engines/configs)."""
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(1 << 31))
+    rows = (
+        df.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(h).alias("hs"))
+        .collect()
+    )
+    return {int(r["bucket"]): (int(r["n"]), int(r["hs"])) for r in rows}
+
+
 def _verify_and_drop_staging(spark: SparkSession, staging: str, table_dir: str) -> None:
     """Read-back verification gate: staging is the only guaranteed-good
-    copy of the affected buckets until the live table provably holds them
-    (row count of the staged buckets matches), so staging is deleted ONLY
-    after the check passes — on mismatch it raises and staging survives
-    for the next recovery attempt. Shared by the merge commit and by
-    :func:`recover_staging` (an unverified recovery that deleted staging
-    would turn a loud commit failure into silent row loss)."""
+    copy of the affected buckets until the live table provably holds their
+    CONTENT, so staging is deleted ONLY after the check passes — on
+    mismatch it raises and staging survives for the next recovery attempt.
+
+    The check compares, per affected bucket, the row count AND an
+    order-independent sum of a per-row content hash over every column —
+    so a commit that landed the right number of wrong rows, or a stale
+    bucket directory whose count happens to match, still fails loudly.
+    (Not a cryptographic proof — a colliding hash-sum is possible in
+    principle — but it is a content check, not a cardinality check.)
+    Shared by the merge commit and by :func:`recover_staging` (an
+    unverified recovery that deleted staging would turn a loud commit
+    failure into silent row loss)."""
     staged = spark.read.parquet(staging)
-    buckets = [r.bucket for r in staged.select("bucket").distinct().collect()]
-    staged_n = staged.count()
-    live_n = spark.read.parquet(table_dir).filter(F.col("bucket").isin(buckets)).count()
-    if staged_n != live_n:
+    cols = sorted(staged.columns)
+    staged_d = _bucket_digest(staged.select(*cols), cols)
+    buckets = list(staged_d)
+    live = spark.read.parquet(table_dir).filter(F.col("bucket").isin(buckets))
+    live_d = _bucket_digest(live.select(*cols), cols)
+    if staged_d != live_d:
+        bad = sorted(
+            b for b in set(staged_d) | set(live_d) if staged_d.get(b) != live_d.get(b)
+        )
         raise RuntimeError(
-            f"merge_upsert commit verification failed: staging has {staged_n} rows "
-            f"but the live table's affected buckets hold {live_n}; staging at "
-            f"{staging} is preserved for recovery"
+            f"merge_upsert commit verification failed: buckets {bad} differ "
+            f"between staging and the live table (count, content-hash); staging "
+            f"at {staging} is preserved for recovery"
         )
     fs, spath = _hadoop_fs(spark, staging)
     fs.delete(spath, True)

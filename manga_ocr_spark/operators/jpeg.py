@@ -319,6 +319,18 @@ def _decode_scan(
             k += 1
         return coeffs
 
+    def check_not_ended() -> None:
+        # A NEW MCU is about to start, but the entropy segment already ran
+        # into a non-restart marker: the scan ended early (corrupt data).
+        # Raising here degrades the row to the deterministic stub tier
+        # instead of silently decoding zero-bit padding into plausible
+        # garbage. (The final MCU legitimately consuming a few padding
+        # bits via the reader's lookahead is NOT this case — no further
+        # MCU starts after it.) Restart markers are handled by
+        # align_restart before this check runs.
+        if r.marker is not None:
+            raise ValueError("baseline entropy segment ended before the last MCU")
+
     if len(scan) == 1:
         # non-interleaved: MCU = one block of the single component
         cid, td, ta = scan[0]
@@ -329,6 +341,7 @@ def _decode_scan(
                 if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                     r.align_restart()
                     dc_pred[cid] = 0
+                check_not_ended()
                 coeffs = decode_block(cid, td, ta, keep=(cid == luma_id))
                 if coeffs is not None:
                     blk = np.zeros(64, dtype=np.float64)
@@ -346,6 +359,7 @@ def _decode_scan(
                     r.align_restart()
                     for cid in dc_pred:
                         dc_pred[cid] = 0
+                check_not_ended()
                 for cid, td, ta in scan:
                     hi, vi, _tq = by_id[cid]
                     for v in range(vi):

@@ -30,32 +30,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _sample_splits(
+    df: DataFrame, order_col: str, num_buckets: int, seed: int
+) -> list:
+    """Range split points for NON-numeric keys (string/date/...), the way
+    Spark's own sort picks them: a seeded sample, sorted driver-side, cut
+    at even ranks. Two cheap jobs (count + sample); the sample is bounded
+    to ~``num_buckets * 128`` values — KB-scale driver state. Split
+    QUALITY only affects bucket balance, never rank correctness (local
+    rank + offset is exact for any monotone bucketing).
+
+    Driver-side Python ``sort`` and executor-side Spark comparison agree:
+    Spark's default UTF8_BINARY collation compares UTF-8 bytes, whose
+    order equals code-point order — which is what Python ``<`` compares.
+    """
+    n = df.count()
+    if n == 0:
+        return []
+    target = num_buckets * 128
+    frac = min(1.0, (target * 1.2) / n)
+    sample = sorted(r[0] for r in df.select(order_col).sample(False, frac, seed).collect())
+    if not sample:
+        return []
+    step = len(sample) / num_buckets
+    return sorted({sample[int(i * step)] for i in range(1, num_buckets) if int(i * step) < len(sample)})
+
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
 def global_row_number(
     df: DataFrame,
     order_col: str,
     num_buckets: int = 64,
     out_col: str = "rn",
     relative_error: float = 0.001,
+    seed: int = 42,
 ) -> DataFrame:
     """Add a 1-based global ``row_number`` ordered by ``order_col`` without
     a single-partition sort.
 
-    ``order_col`` must be numeric and SHOULD be unique (ties get an
-    arbitrary but stable-within-run order inside their bucket — the same
-    contract as ``row_number`` over a non-unique global window). Nulls are
-    not supported (they have no place in a range bucketing); callers
-    filter them first.
+    ``order_col`` may be numeric (split points from an approxQuantile
+    sketch) or any other orderable type — string, date, timestamp — (split
+    points from a seeded sample, Spark's own range-partitioner strategy).
+    It SHOULD be unique (ties get an arbitrary but stable-within-run order
+    inside their bucket — the same contract as ``row_number`` over a
+    non-unique global window). Nulls are not supported (they have no place
+    in a range bucketing); callers filter them first.
 
-    Runs two auxiliary jobs over ``df`` (quantile sketch + per-bucket
-    counts) before the final partitioned-window pass — at 100 TB each is a
-    map-side-combined scan, which is the price of removing the one-task
-    sort. Plan shape pinned by tests/test_plans.py (no
-    ``Exchange SinglePartition``).
+    ``df`` MUST be deterministic across re-evaluation: this function runs
+    two auxiliary jobs over it (split-point sketch/sample + per-bucket
+    counts) before the final windowed pass, so a frame containing
+    nondeterministic or unmaterialized-UDF-derived values can present
+    DIFFERENT rows to the counts job and the ranking job, corrupting the
+    driver-side offsets (duplicate/skipped global ranks). Stage such
+    frames first (``df.localCheckpoint()`` or write+re-read) — the same
+    invariant as the self-join rule in CLAUDE.md. Plain table reads and
+    pure column expressions are fine.
+
+    At 100 TB each auxiliary job is a map-side-combined scan, which is the
+    price of removing the one-task sort. Plan shape pinned by
+    tests/test_plans.py (no ``Exchange SinglePartition``).
     """
-    # 1) split points: deterministic Greenwald-Khanna sketch, never a sort
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    splits = df.stat.approxQuantile(order_col, probs, relative_error)
-    splits = sorted(set(splits))  # degenerate distributions → fewer buckets
+    dtype = dict(df.dtypes)[order_col]
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        # deterministic Greenwald-Khanna sketch, never a sort
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        splits = df.stat.approxQuantile(order_col, probs, relative_error)
+        splits = sorted(set(splits))  # degenerate distributions → fewer buckets
+    else:
+        splits = _sample_splits(df, order_col, num_buckets, seed)
 
     splits_arr = F.array(*[F.lit(s) for s in splits])
     bucket = F.size(F.filter(splits_arr, lambda s: s <= F.col(order_col)))

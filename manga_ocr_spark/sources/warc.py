@@ -357,22 +357,35 @@ def pages_from_warc_ranges(
     def read_ranges(batches):
         from pyarrow import fs as pafs
 
-        # filesystem objects cached per scheme://authority (an HDFS/S3
-        # client per cluster/bucket); the RESOLVED path always comes from
-        # FileSystem.from_uri — a naive scheme-split would keep the URI
-        # authority glued onto the path and break authority-bearing DFS
+        # Two caches so from_uri (which CONSTRUCTS an S3/HDFS client) runs
+        # once per distinct archive path, not once per record range:
+        # `filesystems` holds one client per scheme://authority (one per
+        # cluster/bucket), `resolved_paths` memoizes the from_uri path
+        # resolution per full URI (ranges are sorted by path within
+        # partitions, so a task sees few distinct paths and MANY ranges
+        # per path). The resolved path must come from from_uri — a naive
+        # scheme-split would keep the URI authority glued onto the path
+        # (breaking authority-bearing DFS) and would skip from_uri's
+        # percent-decoding.
         filesystems: dict[str, object] = {}
+        resolved_paths: dict[str, tuple[str, str]] = {}
 
         def open_range(path: str, offset: int, length: int) -> bytes:
             if "://" in path:
-                key_m = re.match(r"^([a-z0-9+.-]+://[^/]*)", path, re.I)
-                key = key_m.group(1) if key_m else path
-                cached = filesystems.get(key)
-                filesystem, resolved = pafs.FileSystem.from_uri(path)
-                if cached is not None:
-                    filesystem = cached
+                hit = resolved_paths.get(path)
+                if hit is None:
+                    key_m = re.match(r"^([a-z0-9+.-]+://[^/]*)", path, re.I)
+                    key = key_m.group(1) if key_m else path
+                    fs_new, resolved = pafs.FileSystem.from_uri(path)
+                    # keep the FIRST client built for this authority; a
+                    # later from_uri for a sibling path reuses it
+                    filesystems.setdefault(key, fs_new)
+                    if len(resolved_paths) >= 65536:  # bound task memory
+                        resolved_paths.clear()
+                    resolved_paths[path] = (key, resolved)
                 else:
-                    filesystems[key] = filesystem
+                    key, resolved = hit
+                filesystem = filesystems[key]
             else:
                 filesystem = filesystems.get("file")
                 if filesystem is None:

@@ -272,3 +272,20 @@ def test_extended_sequential_rejected():
     data[idx + 1] = 0xC1
     with pytest.raises(ValueError, match="unsupported SOF"):
         decode_jpeg_luma(bytes(data))
+
+
+def test_baseline_scan_ending_early_raises_not_garbage():
+    # ADVICE r3: a baseline entropy segment that runs into a marker while
+    # MCUs remain must RAISE (degrading the row to the stub tier), not
+    # silently decode zero-bit padding into plausible-looking luma. Keep a
+    # few real entropy bytes then splice in an EOI far before the last MCU.
+    data = encode_gray_jpeg(_test_image(), Q_ONE)
+    sos = data.find(b"\xff\xda")
+    ent_start = sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big")
+    truncated = data[: ent_start + 6] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(truncated)
+    # a mid-scan COM marker (not just EOI) is equally corrupt
+    spliced = data[: ent_start + 6] + b"\xff\xfe\x00\x04ab" + data[ent_start + 6 :]
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(spliced)

@@ -540,3 +540,23 @@ def test_flate_bomb_dropped(monkeypatch):
     w.put(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
     w.stream(4, "/Filter /FlateDecode", bomb)
     assert extract_pdf_lines(w.render()) is None  # dropped, not inflated
+
+
+def test_plain_text_mentioning_pdf_header_not_routed_to_pdf_tier():
+    # ADVICE r3: a non-markup crawl payload (WET record, notes about PDF
+    # internals) that merely mentions %PDF- early must NOT be routed into
+    # the PDF tier — a nonzero-offset header needs structural evidence
+    # (obj/xref/trailer) behind it.
+    from manga_ocr_spark.extraction.core import extract
+    from manga_ocr_spark.extraction.pdf import sniff_pdf
+
+    wet = b"notes: every pdf begins with the %PDF-1.7 header line\nand more prose\n"
+    assert sniff_pdf(wet) == -1
+    res = extract(wet)
+    assert res.text is not None and "every pdf begins" in res.text
+    # offset-0 headers still dispatch unconditionally (real PDFs)
+    pdf = _simple_pdf(b"BT /F1 12 Tf (zero offset) Tj ET")
+    assert sniff_pdf(pdf) == 0
+    # preamble + real structure still accepted
+    junked = b"Content-Type: application/pdf\r\n\r\n" + pdf
+    assert extract_pdf_lines(junked) == ["zero offset"]

@@ -135,3 +135,31 @@ def test_global_row_number_equals_sorted_enumeration_on_random_inputs(spark):
         got = {r.k: r.rn for r in global_row_number(df, "k", num_buckets=nb).collect()}
         want = {k: i + 1 for i, k in enumerate(sorted(keys))}
         assert got == want, f"trial {trial} buckets {nb} n {len(keys)}"
+
+
+def test_global_row_number_string_keys_equal_sorted_enumeration(spark):
+    # the string-key path (seeded-sample range partitioner instead of
+    # approxQuantile) vs driver-side sorted enumeration: url-like keys
+    # with heavy shared prefixes, plus unicode and mixed-length randoms.
+    # Python sorted() and Spark's UTF8_BINARY comparison agree because
+    # UTF-8 byte order == code-point order.
+    import random
+
+    from manga_ocr_spark.operators.ranking import global_row_number
+
+    rng = random.Random(20250817)
+    alph = "abcxyz0189/._-é中ア"
+    for trial in range(3):
+        n = rng.randint(1, 300)
+        if trial == 0:
+            keys = [f"https://host{rng.randrange(5)}.example/p/{rng.randrange(10**6)}" for _ in range(n)]
+        elif trial == 1:
+            keys = ["".join(rng.choice(alph) for _ in range(rng.randint(1, 12))) for _ in range(n)]
+        else:
+            keys = ["common/prefix/" + "".join(rng.choice("ab") for _ in range(rng.randint(1, 6))) for _ in range(n)]
+        keys = list(dict.fromkeys(keys))
+        df = spark.createDataFrame([Row(k=k) for k in keys]).repartition(rng.randint(1, 9))
+        nb = rng.choice([2, 8, 64])
+        got = {r.k: r.rn for r in global_row_number(df, "k", num_buckets=nb).collect()}
+        want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+        assert got == want, f"trial {trial} buckets {nb} n {len(keys)}"

@@ -238,3 +238,32 @@ def test_recover_staging_preserves_staging_on_failed_verification(
     assert U.recover_staging(spark, path) is True
     assert not os.path.exists(staging)
     assert spark.read.parquet(path).count() == 20
+
+
+def test_verification_catches_same_count_wrong_content(spark, tmp_path):
+    # ADVICE r3: the verify gate must be a CONTENT check, not a row-count
+    # check — a commit that landed the right number of wrong rows (or a
+    # stale bucket dir with a matching count) must fail verification and
+    # preserve staging.
+    import shutil
+
+    import pytest
+
+    from manga_ocr_spark.jobs import upsert as U
+
+    path = str(tmp_path / "tbl")
+    _write_table(spark, path, [Row(url=f"u{i}", text=f"old{i}") for i in range(20)])
+    staging = f"{path}__staging_merge"
+    shutil.copytree(path, staging)
+
+    # corrupt one live bucket: same row count, different content
+    bucket_dirs = sorted(d for d in os.listdir(path) if d.startswith("bucket="))
+    bdir = os.path.join(path, bucket_dirs[0])
+    n = spark.read.parquet(bdir).count()
+    spark.createDataFrame(
+        [Row(url=f"wrong{i}", text=f"stale{i}") for i in range(n)]
+    ).write.mode("overwrite").parquet(bdir)
+
+    with pytest.raises(RuntimeError, match="verification failed"):
+        U._verify_and_drop_staging(spark, staging, path)
+    assert os.path.exists(staging)  # preserved for recovery
