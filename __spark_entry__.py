@@ -979,19 +979,31 @@ from buckets a join buckets b
         pat = r"\b(" + "|".join(words) + r")\b"
         return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
-    # generated from T.LANG_MARKERS so adding a language updates BOTH the
-    # Spark expression (operators/text.py::lang_id) and this oracle in
-    # lockstep; the WHEN order mirrors lang_id's tie-break (earlier
-    # languages win ties)
+    # generated from T.SCRIPT_LANG_RULES/T.SCRIPT_RANGES (tier 1) and
+    # T.LANG_MARKERS (tier 2) so adding a script rule or a language
+    # updates BOTH the Spark expression (operators/text.py::lang_id) and
+    # this oracle in lockstep; WHEN order mirrors lang_id exactly (script
+    # rules first match wins, then marker ties break earlier-wins)
+    def _script_cnt(script: str) -> str:
+        cls = T.script_class(script)
+        return f"(length(text) - length(regexp_replace(text, '{cls}', '', 'g')))"
+
+    whens = []
+    for lang, scripts, mult in T.SCRIPT_LANG_RULES:
+        cnt = " + ".join(_script_cnt(s) for s in scripts)
+        whens.append(f"when ({cnt}) > 0 and ({cnt}) * {mult} >= length(text) then '{lang}'")
     c = {lang: _marker(ws) for lang, ws in T.LANG_MARKERS.items()}
     langs = list(T.LANG_MARKERS)
-    whens = []
     for i, lang in enumerate(langs):
         conds = [f"{c[lang]} > 0"] + [
             f"{c[lang]} >= {c[other]}" for other in langs[i + 1 :]
         ]
         whens.append(f"when {' and '.join(conds)} then '{lang}'")
     lang_case = "\n        case\n          " + "\n          ".join(whens) + "\n          else 'und'\n        end"
+    script_frac_cols = ",\n                   ".join(
+        f"round({_script_cnt(s)}::double / greatest(length(text), 1), 6) as {s}_frac"
+        for s in T.SCRIPT_RANGES
+    )
 
     shingle5 = (
         "list_distinct(list_transform("
@@ -1202,8 +1214,10 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
             ) where rank <= 5""",
         "token_stats": rf"""
             select lang,
-                   sum(len({toks}))::bigint as total_tokens,
-                   round(avg(len({toks})), 4) as avg_tokens,
+                   sum(case when length(trim(text)) = 0 then 0
+                            else len({toks}) end)::bigint as total_tokens,
+                   round(avg(case when length(trim(text)) = 0 then 0
+                                  else len({toks}) end), 4) as avg_tokens,
                    sum(len(regexp_extract_all(text, '\w+|[^\w\t\n\f\r ]')))::bigint
                      as total_bpe_tokens
             from documents group by lang""",
@@ -1230,7 +1244,8 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
               ) group by doc_id
             )
             select d.doc_id,
-                   len({toks})::bigint as n_tokens,
+                   (case when length(trim(text)) = 0 then 0
+                         else len({toks}) end)::bigint as n_tokens,
                    round(len(list_filter({toks}, t -> t in ({stop_list})))::double
                          / greatest(len({toks}), 1), 6) as stopword_ratio,
                    round(list_sum(list_transform({toks}, t -> length(t)))::double
@@ -1244,6 +1259,7 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
                                      / greatest(length(text), 1), 6),
                          6) as quality,
                    {lang_case} as lang_pred,
+                   {script_frac_cols},
                    coalesce(u.top_unigram_frac, 0.0) as top_unigram_frac,
                    coalesce(b.top_bigram_frac, 0.0) as top_bigram_frac
             from documents d

@@ -35,6 +35,62 @@ LANG_MARKERS = {
     "sv": ("och", "det", "som"),
 }
 
+# Per-script BMP code-point ranges for the script-class tier of lang_id —
+# the Spark graft of the reference's per-char predicates
+# (/root/reference/manga_ocr_dev/synthetic_data_generator/common/
+# utils.py:60-151: is_kanji = CJK UNIFIED IDEOGRAPH, is_hiragana,
+# is_katakana, is_ascii), widened to the script families a Common-Crawl
+# pipeline meets. Every range is BMP (no surrogate-pair splitting in
+# Java's UTF-16 regex engine) and is rendered as a LITERAL character
+# class, so the Java (Spark) and RE2 (DuckDB oracle) regexes are the
+# same bytes with the same meaning. Both the Spark expressions and the
+# oracle SQL are generated from THIS table — one source of truth.
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "hiragana": ((0x3041, 0x309F),),  # incl. combining marks/iteration marks
+    "katakana": ((0x30A1, 0x30FA), (0x30FC, 0x30FF)),  # excl. ・ (0x30FB)
+    "cjk": ((0x3400, 0x4DBF), (0x4E00, 0x9FFF)),  # unified ideographs + ext A
+    "hangul": ((0x1100, 0x11FF), (0x3131, 0x318E), (0xAC00, 0xD7A3)),
+    "cyrillic": ((0x0400, 0x04FF),),
+    "greek": ((0x0370, 0x0373), (0x0376, 0x0377), (0x037B, 0x03FF)),
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x24F)),
+}
+
+# Script-dominance rules, FIRST MATCH WINS, checked before marker words:
+# (lang, contributing scripts, multiplier) means
+#   sum(script counts) > 0 AND sum * multiplier >= length(text).
+# Kana at >=5% of characters is decisive for Japanese (kana occurs in no
+# other living script, and Japanese prose is kana-heavy); han-only text
+# at >=25% is Chinese (Japanese text with that much han still carries
+# kana, caught first); hangul/cyrillic/greek at >=25% mark ko/ru/el.
+# Integer arithmetic only — both engines compare exactly.
+SCRIPT_LANG_RULES: tuple[tuple[str, tuple[str, ...], int], ...] = (
+    ("ja", ("hiragana", "katakana"), 20),
+    ("zh", ("cjk",), 4),
+    ("ko", ("hangul",), 4),
+    ("ru", ("cyrillic",), 4),
+    ("el", ("greek",), 4),
+)
+
+
+def script_class(script: str) -> str:
+    """The literal regex character class for a SCRIPT_RANGES entry —
+    shared verbatim by the Spark expression and the DuckDB oracle."""
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in SCRIPT_RANGES[script]) + "]"
+
+
+def script_count(col: Column, script: str) -> Column:
+    """Number of characters of ``script`` in the column — length minus
+    length-after-removal, a pure codegen expression (both engines count
+    code points, and every class char is BMP, so removal shrinks length
+    by exactly the match count in both)."""
+    return F.length(col) - F.length(F.regexp_replace(col, script_class(script), ""))
+
+
+def script_frac(col: Column, script: str) -> Column:
+    """Fraction of characters in ``script`` (6-decimal rounded for the
+    oracle's value-hash contract); NULL propagates like SQL."""
+    return F.round(script_count(col, script) / F.greatest(F.length(col), F.lit(1)), 6)
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokenization on the explicit class [\\t\\n\\f\\r ] —
@@ -82,15 +138,33 @@ def marker_count(col: Column, words: tuple[str, ...]) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Marker-word language id: argmax over per-language marker counts,
-    'und' when all zero. Ties break by language-code order (deterministic —
-    same CASE ordering is used in the SQL oracle)."""
+    """Two-tier language id, all pure codegen expressions.
+
+    Tier 1 — script classes (SCRIPT_LANG_RULES, first match wins):
+    whitespace-free scripts (ja/zh) and non-Latin alphabets (ko/ru/el)
+    are detected by per-char script fractions over code-point ranges —
+    marker WORDS are structurally blind to them (no ``\\b`` word breaks
+    in unsegmented text). This is the graft of the reference's
+    is_kanji/is_hiragana/is_katakana predicates (common/utils.py:60-151);
+    the reference's whole domain is Japanese text.
+
+    Tier 2 — marker-word argmax over LANG_MARKERS for Latin-script
+    languages, 'und' when all zero. Ties break by language-code order.
+
+    The DuckDB oracle CASE is generated from the SAME two tables
+    (SCRIPT_LANG_RULES + LANG_MARKERS) in __spark_entry__, so both sides
+    update in lockstep."""
     counts = {lang: marker_count(col, ws) for lang, ws in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     # build reversed so earlier languages win ties
     for lang in reversed(list(LANG_MARKERS)):
         expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    # script tier wraps the marker tier, reversed so the FIRST rule wins
+    n = F.length(col)
+    for lang, scripts, mult in reversed(SCRIPT_LANG_RULES):
+        cnt = sum((script_count(col, s) for s in scripts[1:]), script_count(col, scripts[0]))
+        expr = F.when((cnt > 0) & (cnt * mult >= n), F.lit(lang)).otherwise(expr)
     return expr
 
 
@@ -150,17 +224,28 @@ def word_bigrams(col: Column) -> Column:
 
 def top_gram_frac(grams: Column) -> Column:
     """Fraction of an n-gram array taken by its most frequent element —
-    computed SHUFFLE-FREE as a pure codegen expression: sort the array,
+    computed SHUFFLE-FREE as a pure codegen expression: hash each gram to
+    int64 (md5-based — deterministic and DuckDB-portable, though the
+    oracle can equally count the raw tokens since hash multiplicity ==
+    token multiplicity absent a ~2^-60 collision), sort the LONG array,
     then fold for the longest run of equal adjacent elements (= max
-    multiplicity). O(n log n) per doc JVM-side, no explode, no join —
-    strictly cheaper at 10^12 docs than the explode->count->max shape
-    (and NOT the per-doc quadratic ``transform(distinct, count)`` form).
-    0.0 for empty/NULL arrays (coalesced by the caller)."""
-    sg = F.array_sort(grams)
+    multiplicity). Hash-first makes the O(n log n) sort compare 8-byte
+    longs instead of variable-length strings — measurably cheaper on
+    bigram arrays. No explode, no join — strictly cheaper at 10^12 docs
+    than the explode->count->max shape (and NOT the per-doc quadratic
+    ``transform(distinct, count)`` form). 0.0 for empty/NULL arrays
+    (coalesced by the caller)."""
+    hashed = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(F.encode(g, "UTF-8")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    sg = F.array_sort(hashed)
     state = F.aggregate(
         sg,
         F.struct(
-            F.lit(None).cast("string").alias("prev"),
+            F.lit(None).cast("long").alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
         ),
@@ -209,6 +294,7 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         alpha_ratio(text).alias("alpha_ratio"),
         quality_score(text).alias("quality"),
         lang_id(text).alias("lang_pred"),
+        *[script_frac(text, s).alias(f"{s}_frac") for s in SCRIPT_RANGES],
         *repetition_columns(text_col),
     )
 

@@ -439,3 +439,83 @@ def test_lang_id_extended_languages(spark):
     )
     out = {r.doc_id: r.lang for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
     assert out == {0: "it", 1: "pt", 2: "nl", 3: "sv", 4: "en", 5: "und"}
+
+
+def test_lang_id_script_tier_cjk_and_alphabets(spark):
+    # F5 closure: whitespace-free scripts (ja/zh) and non-Latin alphabets
+    # (ko/ru/el) are detected by per-char script fractions — marker words
+    # cannot see them. Mirrors the reference's is_kanji/is_hiragana/
+    # is_katakana predicates (common/utils.py:60-151).
+    from manga_ocr_spark.fixtures.pages import _CJK_SENT
+
+    texts = {
+        0: _CJK_SENT,                                   # the fixture's own Japanese
+        1: "これはテストです",                            # kana-only ja
+        2: "アニメとマンガのキャラクター",                   # katakana ja
+        3: "汉字文本没有假名只有中文内容这里全是汉字",          # han only -> zh
+        4: "한국어 텍스트 감사합니다 안녕하세요",             # hangul -> ko
+        5: "русский текст на кириллице для проверки",     # cyrillic -> ru
+        6: "ελληνικό κείμενο για τον έλεγχο",             # greek -> el
+        7: "the cat and the dog of mine",                 # latin marker tier intact
+        8: "der Hund und die Katze liefen",               # de
+        9: "",                                            # und
+        # kana fraction below 5% of a long English text: stays en
+        10: "the quick brown fox and the lazy dog of the farm " * 20 + "ね",
+        # Japanese prose: kana >= 5% wins over the han rule (ja, not zh)
+        11: "日本語の文章には仮名が含まれているので中国語ではなく日本語と判定される",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {0: "ja", 1: "ja", 2: "ja", 3: "zh", 4: "ko", 5: "ru",
+                   6: "el", 7: "en", 8: "de", 9: "und", 10: "en", 11: "ja"}
+
+
+def test_quality_panel_duckdb_oracle_matches_on_multilingual_corpus(spark):
+    # input-independent equivalence: run the ACTUAL generated oracle SQL
+    # (script-tier CASE + script fraction columns included) in DuckDB over
+    # a multilingual corpus and compare with the Spark quality_panel —
+    # the generated pair must agree on ANY input, not just the synthetic
+    # ASCII documents table.
+    import math
+
+    import duckdb
+
+    from __spark_entry__ import oracle_sql
+    from manga_ocr_spark.fixtures.pages import _CJK_SENT
+
+    texts = [
+        _CJK_SENT,
+        "これはテストです",
+        "汉字文本没有假名只有中文内容",
+        "한국어 텍스트 감사합니다",
+        "русский текст для проверки",
+        "ελληνικό κείμενο εδώ",
+        "the cat and the dog of mine",
+        "mixed english with 日本語 inside それ and more",
+        "",
+        " \t\n ",
+        "à la carte déjà vu française",  # accented latin
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id int, text varchar)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    want = {
+        r[0]: r[1:]
+        for r in con.execute(
+            "select * from (" + oracle_sql()["quality_scores"] + ") order by doc_id"
+        ).fetchall()
+    }
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r[0]: tuple(r[1:]) for r in T.quality_panel(df).collect()}
+    assert set(got) == set(want)
+    for k in got:
+        for a, b in zip(got[k], want[k]):
+            if isinstance(a, float) or isinstance(b, float):
+                assert (a is None) == (b is None) and (
+                    a is None or math.isclose(a, b, rel_tol=0, abs_tol=1e-9)
+                ), (k, got[k], want[k])
+            else:
+                assert a == b, (k, got[k], want[k])
