@@ -165,6 +165,12 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
     # still charging steady-state cost.
     runs_per_query = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     times: dict[str, float] = {}
+    # full min/median/max per query in the payload: driver-recorded medians
+    # and end-of-round re-runs have differed by ~25% on this shared host
+    # (r3: 16.06s vs 12.7s) — the spread lets a reader separate co-tenant
+    # noise (wide min..max, low min) from a real regression (high MIN)
+    # without re-running.
+    spreads: dict[str, dict[str, float]] = {}
     for name, build in qs.items():
         samples = []
         for _ in range(runs_per_query):
@@ -173,7 +179,12 @@ def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
             samples.append(time.time() - t0)
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
-    return times
+        spreads[name] = {
+            "min": round(samples[0], 3),
+            "med": times[name],
+            "max": round(samples[-1], 3),
+        }
+    return times, spreads
 
 
 def main_bench() -> None:
@@ -182,8 +193,9 @@ def main_bench() -> None:
     spark = get_spark(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     ext = _timed_extract(spark, SF_DIR, FANOUT, salt_partitions=CPUS * 2)
-    queries = _headline_queries(spark, SF_DIR)
+    queries, spreads = _headline_queries(spark, SF_DIR)
     queries["extract_80k_pages"] = ext["sec"]
+    spreads["extract_80k_pages"] = {"min": ext["sec"], "med": ext["sec"], "max": ext["sec"]}
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -192,6 +204,7 @@ def main_bench() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_spreads": spreads,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
                 "extract_docs": ext["docs"],

@@ -34,7 +34,10 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -72,6 +75,30 @@ EXTRACTED_SCHEMA = StructType(
 # columns the post-commit stats scan reads — everything EXCEPT the text
 STATS_COLUMNS = ["bucket", "lang", "n_blocks_kept", "n_blocks_dropped", "bytes_in", "ok"]
 
+# K6 debug side output (SURVEY.md §1.4 block schema; the reference dumps
+# per-sample params+HTML the same way, run_generate.py:64-80): one struct
+# per SCORED block, emitted only when extract_pages(debug_blocks=True).
+# Off by default — the hot path's schema (and Arrow byte volume) is
+# unchanged, pinned by tests/test_plans.py.
+BLOCK_STRUCT = StructType(
+    [
+        StructField("block_id", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("text", StringType()),
+        StructField("text_len", IntegerType()),
+        StructField("link_text_len", IntegerType()),
+        StructField("text_density", DoubleType()),  # ws-free chars / total chars
+        StructField("link_density", DoubleType()),
+        StructField("score", DoubleType()),
+        StructField("keep", BooleanType()),
+    ]
+)
+
+EXTRACTED_DEBUG_SCHEMA = StructType(
+    EXTRACTED_SCHEMA.fields + [StructField("blocks", ArrayType(BLOCK_STRUCT))]
+)
+
 LINEAGE_SCHEMA = StructType(
     [
         StructField("partition_id", StringType()),
@@ -92,8 +119,27 @@ def _utc_naive(epoch_s: float):
     return dt.datetime.fromtimestamp(epoch_s, tz=dt.timezone.utc).replace(tzinfo=None, microsecond=0)
 
 
-def _extract_map(batches):
-    """mapInArrow body. Iterator form: one-time init above the loop.
+def _blocks_to_py(blocks) -> list[dict]:
+    """Scored Block objects -> plain dicts matching BLOCK_STRUCT."""
+    return [
+        {
+            "block_id": b.block_id,
+            "tag": b.tag,
+            "depth": b.depth,
+            "text": b.text,
+            "text_len": b.text_len,
+            "link_text_len": b.link_text_len,
+            "text_density": b.text_len / max(1, len(b.text)),
+            "link_density": b.link_density,
+            "score": b.score,
+            "keep": b.keep,
+        }
+        for b in blocks
+    ]
+
+
+def _make_extract_map(debug_blocks: bool = False):
+    """mapInArrow body factory. Iterator form: one-time init above the loop.
 
     Arrow RecordBatches end-to-end: the html binaries come straight off the
     Arrow buffers and results go back as Arrow arrays — measured ~30%
@@ -102,27 +148,53 @@ def _extract_map(batches):
     init happens before the batch loop (X1); the extraction core is pure
     Python, imported here (not at module top) so the task closure stays
     tiny and the spark-submit --py-files layout is exercised.
+
+    ``debug_blocks``: emit the per-block K6 debug column (every scored
+    block with its features and keep decision). Debug tier only — the
+    blocks array re-ships every block's text, so the hot path keeps it
+    off and the schema identical to EXTRACTED_SCHEMA.
     """
     import pyarrow as pa
 
-    from manga_ocr_spark.extraction.core import extract
-
-    for batch in batches:
-        texts: list[str | None] = []
-        kept: list[int] = []
-        dropped: list[int] = []
-        nbytes: list[int] = []
-        ok: list[int] = []
-        for v in batch.column("html"):
-            payload = v.as_py()
-            nbytes.append(len(payload) if payload is not None else 0)
-            res = extract(payload)
-            texts.append(res.text)
-            kept.append(res.n_blocks_kept)
-            dropped.append(res.n_blocks_dropped)
-            ok.append(1 if res.text is not None else 0)
-        yield pa.RecordBatch.from_arrays(
+    block_type = pa.list_(
+        pa.struct(
             [
+                pa.field("block_id", pa.int32()),
+                pa.field("tag", pa.string()),
+                pa.field("depth", pa.int32()),
+                pa.field("text", pa.string()),
+                pa.field("text_len", pa.int32()),
+                pa.field("link_text_len", pa.int32()),
+                pa.field("text_density", pa.float64()),
+                pa.field("link_density", pa.float64()),
+                pa.field("score", pa.float64()),
+                pa.field("keep", pa.bool_()),
+            ]
+        )
+    )
+    out_schema = EXTRACTED_DEBUG_SCHEMA if debug_blocks else EXTRACTED_SCHEMA
+
+    def _extract_map(batches):
+        from manga_ocr_spark.extraction.core import extract
+
+        for batch in batches:
+            texts: list[str | None] = []
+            kept: list[int] = []
+            dropped: list[int] = []
+            nbytes: list[int] = []
+            ok: list[int] = []
+            blocks_col: list[list[dict]] = []
+            for v in batch.column("html"):
+                payload = v.as_py()
+                nbytes.append(len(payload) if payload is not None else 0)
+                res = extract(payload)
+                texts.append(res.text)
+                kept.append(res.n_blocks_kept)
+                dropped.append(res.n_blocks_dropped)
+                ok.append(1 if res.text is not None else 0)
+                if debug_blocks:
+                    blocks_col.append(_blocks_to_py(res.blocks))
+            arrays = [
                 batch.column("url"),
                 batch.column("warc_ts"),
                 pa.array(texts, pa.string()),
@@ -131,9 +203,14 @@ def _extract_map(batches):
                 batch.column("lang"),
                 pa.array(nbytes, pa.int64()),
                 pa.array(ok, pa.int32()),
-            ],
-            names=[f.name for f in EXTRACTED_SCHEMA.fields],
-        )
+            ]
+            if debug_blocks:
+                arrays.append(pa.array(blocks_col, block_type))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in out_schema.fields]
+            )
+
+    return _extract_map
 
 
 def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
@@ -143,12 +220,21 @@ def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
     )
 
 
-def extract_pages(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def extract_pages(
+    df: DataFrame, salt_partitions: int | None = None, debug_blocks: bool = False
+) -> DataFrame:
     """pages DF -> extracted DF (url, warc_ts, extracted_text, counters...).
 
     ``salt_partitions``: when set, repartition on ``pmod(xxhash64(url), P)``
     before the UDF so host-skewed inputs spread evenly over tasks (X11).
     The hash is on the full url => uniform regardless of host skew.
+
+    ``debug_blocks``: K6 debug side output — append a ``blocks``
+    ``array<struct>`` column (SURVEY §1.4 schema) holding every scored
+    block with its features and keep decision, the Spark analogue of the
+    reference's per-sample debug params dump (run_generate.py:64-80).
+    OFF by default: the debug column re-ships all block text, so the hot
+    path's output schema and Arrow volume are unchanged (plan-pinned).
     """
     df = df.filter(F.col("html").isNotNull())
     # column-prune BEFORE the UDF boundary: the WET `text` column is as
@@ -158,7 +244,8 @@ def extract_pages(df: DataFrame, salt_partitions: int | None = None) -> DataFram
     df = df.select("url", "warc_ts", "html", "lang")
     if salt_partitions:
         df = df.repartition(salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions)))
-    return df.mapInArrow(_extract_map, EXTRACTED_SCHEMA)
+    schema = EXTRACTED_DEBUG_SCHEMA if debug_blocks else EXTRACTED_SCHEMA
+    return df.mapInArrow(_make_extract_map(debug_blocks), schema)
 
 
 @dataclass

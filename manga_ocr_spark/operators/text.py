@@ -225,22 +225,20 @@ def word_bigrams(col: Column) -> Column:
 def top_gram_frac(grams: Column) -> Column:
     """Fraction of an n-gram array taken by its most frequent element —
     computed SHUFFLE-FREE as a pure codegen expression: hash each gram to
-    int64 (md5-based — deterministic and DuckDB-portable, though the
-    oracle can equally count the raw tokens since hash multiplicity ==
-    token multiplicity absent a ~2^-60 collision), sort the LONG array,
-    then fold for the longest run of equal adjacent elements (= max
-    multiplicity). Hash-first makes the O(n log n) sort compare 8-byte
-    longs instead of variable-length strings — measurably cheaper on
-    bigram arrays. No explode, no join — strictly cheaper at 10^12 docs
-    than the explode->count->max shape (and NOT the per-doc quadratic
+    int64 with JVM-native xxhash64, sort the LONG array, then fold for
+    the longest run of equal adjacent elements (= max multiplicity).
+    Hash-first makes the O(n log n) sort compare 8-byte longs instead of
+    variable-length strings — measured at sf0.1: 0.30s (xxhash64) vs
+    0.34s (string sort) vs 0.48s (md5+hex+conv — the hex round trip
+    costs more than it saves, so NOT md5 here). The repo's
+    md5-for-DuckDB-portability invariant doesn't apply: this hash never
+    leaves the expression — the oracle counts the raw tokens, which has
+    identical multiplicities absent a ~2^-64 in-doc collision. No
+    explode, no join — strictly cheaper at 10^12 docs than the
+    explode->count->max shape (and NOT the per-doc quadratic
     ``transform(distinct, count)`` form). 0.0 for empty/NULL arrays
     (coalesced by the caller)."""
-    hashed = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(F.encode(g, "UTF-8")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-    )
+    hashed = F.transform(grams, lambda g: F.xxhash64(g))
     sg = F.array_sort(hashed)
     state = F.aggregate(
         sg,

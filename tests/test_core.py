@@ -86,3 +86,38 @@ def test_fixture_families_behave() -> None:
         assert "ABC" in res.text
     # hostile rows never raise; empty-body variant yields None
     assert any(res.text is None for res in by_family["hostile"])
+
+
+def test_debug_blocks_side_output_matches_core(spark):
+    # K6: the debug `blocks` column must carry every scored block with
+    # the same features/keep decisions the core produced for that payload
+    # (reference analogue: per-sample debug params dump,
+    # run_generate.py:64-80).
+    import datetime as dt
+
+    from manga_ocr_spark.extraction.core import extract
+    from manga_ocr_spark.jobs.extract import extract_pages
+
+    html = (
+        b"<html><body><nav><a href='/'>Home</a><a href='/x'>X</a></nav>"
+        b"<h1>A headline here</h1>"
+        b"<p>This is the main paragraph with plenty of useful content text.</p>"
+        b"<p><a href='/y'>tiny</a></p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://e/1", dt.datetime(2024, 1, 1), bytearray(html), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    row = extract_pages(df, debug_blocks=True).collect()[0]
+    want = extract(html)
+    assert row.extracted_text == want.text
+    got = [b.asDict() for b in row.blocks]
+    assert len(got) == len(want.blocks)
+    for g, w in zip(got, want.blocks):
+        assert g["block_id"] == w.block_id and g["tag"] == w.tag
+        assert g["text"] == w.text and g["text_len"] == w.text_len
+        assert g["link_text_len"] == w.link_text_len
+        assert g["keep"] == w.keep and abs(g["score"] - w.score) < 1e-12
+        assert abs(g["link_density"] - w.link_density) < 1e-12
+        assert abs(g["text_density"] - w.text_len / max(1, len(w.text))) < 1e-12
+    assert sum(1 for g in got if g["keep"]) >= row.n_blocks_kept > 0

@@ -178,3 +178,23 @@ def test_quality_panel_is_one_shuffle_free_scan(spark):
     plan = _plan(E.queries()["quality_scores"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_debug_blocks_column_absent_from_hot_path(spark):
+    # K6 debug side output is opt-in: the DEFAULT extraction schema must
+    # not carry the blocks array (it re-ships all block text through
+    # Arrow), and the debug variant must still prune the WET text column
+    # from the scan and stay shuffle-free.
+    from manga_ocr_spark.jobs.extract import extract_pages
+    from manga_ocr_spark.jobs.pages_from_docs import pages_from_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = pages_from_documents(docs)
+    assert "blocks" not in extract_pages(pages).columns
+    dbg = extract_pages(pages, debug_blocks=True)
+    assert dbg.columns[-1] == "blocks"
+    plan = _optimized(dbg)
+    map_line = [ln for ln in plan.splitlines() if "MapInArrow" in ln][0]
+    assert "html" in map_line and "blocks#" in map_line
+    assert map_line.count("text") == 1  # only extracted_text output, no WET input text
+    assert "Exchange" not in _plan(dbg)
