@@ -71,11 +71,13 @@ class _Ref:
 
 
 class _Stream:
-    __slots__ = ("d", "raw")
+    __slots__ = ("d", "raw", "num", "gen")
 
-    def __init__(self, d: dict, raw: bytes) -> None:
+    def __init__(self, d: dict, raw: bytes, num: int = 0, gen: int = 0) -> None:
         self.d = d
         self.raw = raw
+        self.num = num  # owning object ids — the per-object decryption key
+        self.gen = gen  # (ISO 32000 §7.6.2 Algorithm 1) needs them
 
 
 class _Name(str):
@@ -403,7 +405,11 @@ class _Pdf:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.objects: dict[int, object] = {}
+        self.undecryptable = False
         self._scan_objects()
+        # decryption runs BETWEEN the raw scan and ObjStm unpacking: the
+        # compressed-object streams must be plaintext before parsing
+        self._setup_decryption()
         self._unpack_objstms()
 
     # -- object table -------------------------------------------------------
@@ -417,6 +423,7 @@ class _Pdf:
             if m.start() < consumed_until:
                 continue
             num = int(m.group(1))
+            gen = int(m.group(2))
             lex = _Lexer(self.data, m.end())
             try:
                 val = lex.next_token()
@@ -445,10 +452,68 @@ class _Pdf:
                         continue
                     raw = self.data[p:end].rstrip(b"\r\n")
                     end_pos = end + len(b"endstream")
-                val = _Stream(val, raw)
+                val = _Stream(val, raw, num, gen)
             consumed_until = max(consumed_until, end_pos)
             # later definitions win (incremental-update semantics)
             self.objects[num] = val
+
+    def _find_encrypt(self):
+        """(Encrypt value, first-ID bytes) from trailer dicts and
+        xref-stream dicts — only PARSED dicts, never a whole-file regex,
+        which would misfire on unencrypted documents whose stream/string
+        content merely contains the bytes '/Encrypt N G R'."""
+        enc = None
+        id0 = b""
+        def take(d: dict) -> None:
+            nonlocal enc, id0
+            if enc is None and "Encrypt" in d:
+                enc = d["Encrypt"]
+            if not id0:
+                arr = self.resolve(d.get("ID"))
+                if isinstance(arr, list) and arr and isinstance(arr[0], (bytes, bytearray)):
+                    id0 = bytes(arr[0])
+        for m in re.finditer(rb"\btrailer\b", self.data):
+            try:
+                d = _Lexer(self.data, m.end()).next_token()
+            except Exception:
+                continue
+            if isinstance(d, dict):
+                take(d)
+        for o in self.objects.values():
+            d = o.d if isinstance(o, _Stream) else o
+            if isinstance(d, dict) and str(self.resolve(d.get("Type"))) == "XRef":
+                take(d)
+        return enc, id0
+
+    def _setup_decryption(self) -> None:
+        """Standard-security-handler decryption (ISO 32000 §7.6) for the
+        empty user password: decrypt every stream body in place so the
+        rest of the extractor is encryption-blind. Real passwords /
+        unsupported handlers set ``undecryptable`` and the document
+        degrades to the failure tier exactly as the old blanket bailout
+        did. The XRef stream is never encrypted (§7.5.8.2); objects
+        inside ObjStms are not individually encrypted — their container
+        stream is, and it is decrypted here before unpacking."""
+        enc, id0 = self._find_encrypt()
+        if enc is None:
+            return
+        from manga_ocr_spark.extraction import pdfcrypt
+
+        encd = self.resolve(enc)
+        if not isinstance(encd, dict):
+            self.undecryptable = True
+            return
+        dec = pdfcrypt.build(encd, id0, self.resolve)
+        if dec is None:
+            self.undecryptable = True
+            return
+        for num, o in self.objects.items():
+            if not isinstance(o, _Stream):
+                continue
+            if str(self.resolve(o.d.get("Type"))) == "XRef":
+                continue
+            plain = dec.decrypt(o.num, o.gen, o.raw)
+            o.raw = plain if plain is not None else b""
 
     def _unpack_objstms(self) -> None:
         for num in list(self.objects):
@@ -861,24 +926,6 @@ def sniff_pdf(payload: bytes) -> int:
     return idx
 
 
-def _trailer_encrypted(data: bytes, pdf: "_Pdf") -> bool:
-    """/Encrypt present in a trailer dict or an xref-stream dict — NOT a
-    whole-file regex, which would reject any unencrypted document whose
-    stream/string content merely contains the bytes '/Encrypt N G R'."""
-    for m in re.finditer(rb"\btrailer\b", data):
-        try:
-            d = _Lexer(data, m.end()).next_token()
-        except Exception:
-            continue
-        if isinstance(d, dict) and "Encrypt" in d:
-            return True
-    for o in pdf.objects.values():
-        d = o.d if isinstance(o, _Stream) else o
-        if isinstance(d, dict) and str(pdf.resolve(d.get("Type"))) == "XRef" and "Encrypt" in d:
-            return True
-    return False
-
-
 def extract_pdf_lines(data: bytes) -> list[str] | None:
     """Text lines of a PDF in page/content order; None when nothing is
     extractable (not a PDF, encrypted, fully undecodable). Never raises."""
@@ -888,9 +935,11 @@ def extract_pdf_lines(data: bytes) -> list[str] | None:
             return None
         data = data[idx:]
         pdf = _Pdf(data)
-        # encrypted documents: strings/streams are ciphertext — bail to
-        # the failure tier rather than emit garbage
-        if _trailer_encrypted(data, pdf):
+        # encryption is handled inside _Pdf (standard handler, empty user
+        # password — streams decrypted in place); only documents needing
+        # a REAL password or an unsupported handler bail to the failure
+        # tier rather than emit ciphertext garbage
+        if pdf.undecryptable:
             return None
         lines: list[str] = []
         for page in pdf.page_objects():
