@@ -773,17 +773,27 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode through the full Arrow plumbing with an analytic
-    oracle: per doc, synthesize a genuine 16-bit PCM WAV (stdlib wave)
-    with (100 + id%50) frames of constant amplitude 1024*(1 + id%16) —
-    every derived quantity is exact: n_bytes = 44 + 2*frames, RMS =
-    (1 + id%16)/32 (a dyadic rational, exactly representable in float32),
-    so DuckDB can recompute the whole result from doc_id alone."""
-    from manga_ocr_spark.operators.multimodal import wav_payload_from_id
+    oracle, two real formats:
+
+    - even ids: a genuine 16-bit PCM WAV (stdlib wave) with (100+id%50)
+      frames of constant amplitude 1024*(1+id%16) — n_bytes =
+      44 + 2*frames, RMS = (1+id%16)/32 (dyadic, exact in float32);
+    - odd ids: a genuine GIF87a (engine LZW + palette decode path),
+      solid gray g=(id*7)%256 at (4+id%5) x (4+id%3), zero-padded to
+      exactly 256 bytes — first luma band = g/255.
+
+    DuckDB recomputes every column from doc_id alone."""
+    from manga_ocr_spark.operators.multimodal import (
+        gif_payload_from_id,
+        wav_payload_from_id,
+    )
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
     media = d.select(
         F.col("doc_id").alias("media_id"),
-        wav_payload_from_id(F.col("doc_id")).alias("payload"),
+        F.when(
+            F.col("doc_id") % 2 == 0, wav_payload_from_id(F.col("doc_id"))
+        ).otherwise(gif_payload_from_id(F.col("doc_id"))).alias("payload"),
     )
     return media_features(media).select(
         "media_id",
@@ -1292,11 +1302,15 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
             select 'lsh' as method, 5::bigint as n_queries, true as recall_ok""",
         "media_features": """
             select doc_id as media_id,
-                   (44 + 2 * (100 + doc_id % 50))::bigint as n_bytes,
-                   'wav' as format,
-                   1 as width,
-                   (100 + doc_id % 50)::int as height,
-                   round((1 + doc_id % 16) / 32.0, 6) as rms
+                   case when doc_id % 2 = 0 then 44 + 2 * (100 + doc_id % 50)
+                        else 256 end::bigint as n_bytes,
+                   case when doc_id % 2 = 0 then 'wav' else 'gif' end as format,
+                   case when doc_id % 2 = 0 then 1
+                        else 4 + doc_id % 5 end::int as width,
+                   case when doc_id % 2 = 0 then 100 + doc_id % 50
+                        else 4 + doc_id % 3 end::int as height,
+                   case when doc_id % 2 = 0 then round((1 + doc_id % 16) / 32.0, 6)
+                        else round(((doc_id * 7) % 256) / 255.0, 6) end as rms
             from documents where doc_id < 200""",
         "media_meta": """
             select doc_id as media_id,

@@ -16,12 +16,18 @@ libraries):
   an independent encoder and the reference's real JPEG test images.
   Arithmetic coding falls to the stub tier.
 - **BMP** — uncompressed 24-bit bottom-up DIBs.
+- **GIF** — 87a/89a: LSB-first variable-width LZW, global/local color
+  tables, interlace, extension skip; first image of an animation.
 - **WAV** — stdlib ``wave``: PCM frames -> per-segment RMS features.
-- **video / everything else** — deterministic byte-derived stub
-  (clearly marked). The Spark-side plumbing — schema, batch shape,
-  iterator-init slot, bad-row tolerance — is identical for all tiers.
-  A malformed payload of a real format degrades to the stub rather than
-  killing the task (the reference's per-item try/except, run.py:207-212).
+- **AVI (MJPEG)** — RIFF walk to the ``movi`` list, first video chunk
+  decoded with the repo's own T.81 JPEG decoder.
+- **everything else** — deterministic byte-derived stub (clearly
+  marked): arithmetic-coded JPEG and non-MJPEG video codecs (no
+  public-spec-reasonable pure-Python path without a codec library).
+  The Spark-side plumbing — schema, batch shape, iterator-init slot,
+  bad-row tolerance — is identical for all tiers. A malformed payload
+  of a real format degrades to the stub rather than killing the task
+  (the reference's per-item try/except, run.py:207-212).
 
 ``media_meta`` (length + md5) is pure JVM and oracle-checked.
 """
@@ -249,6 +255,217 @@ def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
     return nch, nframes, feat
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF LZW -> pixel index list. DIFFERENT from the PDF/TIFF LZW in
+    extraction/pdf.py on three axes (which is why it is not reused):
+    LSB-first bit packing (PDF is MSB-first), late width change (PDF uses
+    the TIFF early-change variant), and explicit clear/EOI codes at
+    2^min_code_size (PDF's sit at 256/257)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dict_next = eoi + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = min_code_size + 1
+                dict_next = eoi + 1
+                table = {i: [i] for i in range(clear)}
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]  # first code after clear must be literal
+            elif code in table:
+                entry = table[code]
+                table[dict_next] = prev + [entry[0]]
+                dict_next += 1
+            elif code == dict_next:  # the KwKwK case
+                entry = prev + [prev[0]]
+                table[dict_next] = entry
+                dict_next += 1
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out.extend(entry)
+            prev = entry
+            # deferred-width sync: the decoder's dictionary lags the
+            # encoder's by one entry (the entry created by code #k is
+            # learned while processing code #k+1), so the width bump
+            # fires at 2^width - 1 — the de-facto giflib convention real
+            # crawled GIFs follow
+            if dict_next == (1 << width) - 1 and width < 12:
+                width += 1
+    return out
+
+
+def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """Tiny GIF LZW compressor (fixture-synthesis side of
+    :func:`gif_payload_from_id`), mirroring the deferred-width
+    convention of :func:`_gif_lzw_decode`; validated against the
+    INDEPENDENT encoder in tests/test_multimodal.py."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    bits: list[tuple[int, int]] = [(clear, width)]
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        bits.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        buf = (px,)
+    if buf:
+        bits.append((table[buf], width))
+    bits.append((eoi, width))
+    acc = n = 0
+    out = bytearray()
+    for code, w in bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL GIF87a/89a decode (first image only — an animation's first
+    frame): logical screen + color tables, extension-block skip, LSB-first
+    variable-width LZW, interlace de-scrambling, palette -> RGB luma.
+    Same 8-band feature contract as PNG/BMP/JPEG. Raises on anything
+    unsupported (caller degrades to the stub tier)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError("unexpected GIF block")
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), min_code)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF image data")
+        grid = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [y for y in range(0, h, 8)]
+            order += [y for y in range(4, h, 8)]
+            order += [y for y in range(2, h, 4)]
+            order += [y for y in range(1, h, 2)]
+            deinter = np.empty_like(grid)
+            deinter[order] = grid
+            grid = deinter
+        if int(grid.max(initial=0)) >= len(pal):
+            raise ValueError("GIF index out of palette range")
+        luma = pal[grid].astype(np.float64).mean(axis=2)
+        bands = np.array_split(luma, FEATURE_DIM, axis=0)
+        feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+        return int(w), int(h), feat
+    raise ValueError("GIF contains no image block")
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Walk RIFF chunks: yields (fourcc, start, size); LIST chunks yield
+    their list-type as fourcc 'LIST:xxxx' and are entered recursively by
+    the caller via the returned extents."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield fourcc, pos + 8, min(size, end - pos - 8)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL RIFF/AVI walk + MJPEG first-frame decode: finds the `movi`
+    LIST, takes the first `##dc`/`##db` video chunk and runs it through
+    the repo's own T.81 JPEG decoder (operators/jpeg.py). Frames must
+    carry their Huffman/quant tables (frames relying on the out-of-band
+    MJPEG default tables raise -> stub tier; documented). Same 8-band
+    luma feature contract; dims come from the decoded frame."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    from manga_ocr_spark.operators.jpeg import decode_jpeg_luma
+
+    def find_movi(pos: int, end: int) -> bytes | None:
+        for fourcc, start, size in _riff_chunks(data, pos, end):
+            if fourcc == b"LIST":
+                ltype = data[start : start + 4]
+                if ltype == b"movi":
+                    for fc, s, sz in _riff_chunks(data, start + 4, start + size):
+                        if fc[2:4] in (b"dc", b"db") and sz > 2:
+                            return data[s : s + sz]
+                        if fc == b"LIST":  # rec  grouping
+                            inner = find_movi(s - 8, s + sz)
+                            if inner is not None:
+                                return inner
+                else:
+                    inner = find_movi(start + 4, start + size)
+                    if inner is not None:
+                        return inner
+        return None
+
+    frame = find_movi(12, 8 + int.from_bytes(data[4:8], "little"))
+    if frame is None:
+        raise ValueError("no MJPEG frame chunk in AVI")
+    w, h, y = decode_jpeg_luma(frame)
+    luma = y.astype(np.float64)
+    bands = np.array_split(luma, FEATURE_DIM, axis=0)
+    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    return w, h, feat
+
+
 def _sniff_format(payload: bytes) -> str:
     if payload[:4] == b"\x89PNG":
         return "png"
@@ -256,8 +473,12 @@ def _sniff_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "bin"
 
 
@@ -286,7 +507,9 @@ _REAL_DECODERS = {
     "png": lambda p: decode_png(p),
     "jpeg": lambda p: decode_jpeg_features(p),
     "bmp": lambda p: decode_bmp(p),
+    "gif": lambda p: decode_gif(p),
     "wav": lambda p: decode_wav(p),  # returns (n_channels, n_frames, feat)
+    "avi": lambda p: decode_avi_mjpeg(p),
 }
 
 
@@ -360,6 +583,44 @@ def wav_payload_from_id(col):
         return pd.Series(out)
 
     return _wav(col)
+
+
+def gif_payload_from_id(col):
+    """Synthesize a genuine GIF87a per integer id: a solid-gray image of
+    width 4 + id%5, height 4 + id%3, gray level g = (id*7) % 256, padded
+    with trailing zero bytes (legal after the GIF trailer) to EXACTLY 256
+    bytes. Every decode result is analytic: n_bytes = 256, every nonempty
+    luma band = g, so feature[0] = round(g/255, 6) — a SQL oracle
+    recomputes the full result from the id alone (same pattern as
+    :func:`wav_payload_from_id`). The LZW stream comes from a real
+    (tiny) LZW compressor using the same deferred-width convention as
+    :func:`_gif_lzw_decode`; the independent test-side encoder in
+    tests/test_multimodal.py stays the validation of that convention."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _gif(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, g = 4 + i % 5, 4 + i % 3, (i * 7) % 256
+            buf = bytearray(b"GIF87a")
+            buf += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            buf += bytes([0x80, 0, 0])  # 2-entry GCT
+            buf += bytes([g, g, g, 0, 0, 0])
+            buf += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+            buf += b"\x02"  # min code size 2: clear=4, eoi=5, width starts 3
+            lzw = _gif_lzw_encode([0] * (w * h), 2)
+            for off in range(0, len(lzw), 255):
+                blk = lzw[off : off + 255]
+                buf += bytes([len(blk)]) + blk
+            buf += b"\x00\x3b"
+            assert len(buf) <= 256
+            buf += b"\x00" * (256 - len(buf))
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    return _gif(col)
 
 
 def media_meta(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:

@@ -234,3 +234,197 @@ def test_png_adam7_matches_noninterlaced():
         plain = decode_png(encode_png(px, [0, 1, 2, 3, 4]))
         inter = decode_png(encode_png_adam7(px, [0, 4, 2, 3, 1]))
         assert plain == inter, (w, h)
+
+
+# -- independent GIF encoder (own LZW compressor, LSB-first) -----------------
+
+
+def _lzw_compress_gif(indices: list[int], mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    bits: list[tuple[int, int]] = [(clear, width)]
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        bits.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        buf = (px,)
+    if buf:
+        bits.append((table[buf], width))
+    bits.append((eoi, width))
+    acc = n = 0
+    out = bytearray()
+    for code, w in bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    grid: np.ndarray, palette: list[tuple[int, int, int]], interlace: bool = False,
+    v89: bool = False, pad_to: int = 0,
+) -> bytes:
+    """Minimal independent GIF writer: global color table, optional
+    interlace and 89a graphic-control extension, sub-block packing."""
+    h, w = grid.shape
+    n = max(2, 1 << (max(1, (len(palette) - 1).bit_length())))
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    gct_bits = n.bit_length() - 2  # field stores size-1 exponent
+    out = bytearray(b"GIF89a" if v89 else b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | gct_bits, 0, 0])
+    for r, g, b in pal:
+        out += bytes([r, g, b])
+    if v89:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, then terminator
+        out += b"\x21\xfe\x05hello\x00"  # comment extension
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    rows = grid
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = grid[order]
+    mcs = max(2, n.bit_length() - 1)
+    out += bytes([mcs])
+    lzw = _lzw_compress_gif([int(p) for p in rows.flatten()], mcs)
+    for off in range(0, len(lzw), 255):
+        blk = lzw[off : off + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    if pad_to and len(out) < pad_to:
+        out += b"\x00" * (pad_to - len(out))
+    return bytes(out)
+
+
+def _expected_gif_features(grid: np.ndarray, palette) -> list[float]:
+    pal = np.array(palette, dtype=np.float64)
+    luma = pal[grid].mean(axis=2)
+    bands = np.array_split(luma, 8, axis=0)
+    return [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+
+
+def test_gif_solid_and_patterned_decode():
+    from manga_ocr_spark.operators.multimodal import decode_gif
+
+    # solid gray, 2-entry palette
+    grid = np.zeros((6, 5), dtype=np.int64)
+    pal = [(200, 200, 200), (0, 0, 0)]
+    w, h, feat = decode_gif(encode_gif(grid, pal))
+    assert (w, h) == (5, 6)
+    assert feat == _expected_gif_features(grid, pal)
+    # gradient pattern over a 16-entry palette exercises dict growth +
+    # width changes in the LZW stream
+    rng = np.random.RandomState(7)
+    grid2 = rng.randint(0, 16, size=(24, 33))
+    pal2 = [(i * 16, i * 8, 255 - i * 16) for i in range(16)]
+    w2, h2, feat2 = decode_gif(encode_gif(grid2, pal2))
+    assert (w2, h2) == (33, 24)
+    assert feat2 == _expected_gif_features(grid2, pal2)
+
+
+def test_gif_interlaced_matches_noninterlaced_and_89a_extensions():
+    from manga_ocr_spark.operators.multimodal import decode_gif
+
+    rng = np.random.RandomState(11)
+    grid = rng.randint(0, 4, size=(17, 9))
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    plain = decode_gif(encode_gif(grid, pal))
+    inter = decode_gif(encode_gif(grid, pal, interlace=True))
+    withext = decode_gif(encode_gif(grid, pal, v89=True))
+    assert plain == inter == withext
+
+
+def test_gif_trailing_pad_ignored_and_corrupt_degrades():
+    from manga_ocr_spark.operators.multimodal import _decode, decode_gif
+
+    grid = np.zeros((4, 4), dtype=np.int64)
+    pal = [(99, 99, 99), (0, 0, 0)]
+    padded = encode_gif(grid, pal, pad_to=256)
+    assert len(padded) == 256
+    assert decode_gif(padded) == decode_gif(encode_gif(grid, pal))
+    # truncated image data -> stub tier, format still 'gif'
+    broken = encode_gif(grid, pal)[:20]
+    fmt, w, h, feat = _decode(broken)
+    assert fmt == "gif" and (w, h) != (4, 4)
+
+
+def encode_avi_mjpeg(frame_jpg: bytes) -> bytes:
+    """Minimal independent AVI writer: hdrl LIST (stub avih), movi LIST
+    with one 00dc MJPEG chunk."""
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    avih = chunk(b"avih", b"\x00" * 56)
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", frame_jpg))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_mjpeg_first_frame_matches_jpeg_decode():
+    from manga_ocr_spark.operators.multimodal import (
+        _decode,
+        decode_avi_mjpeg,
+        decode_jpeg_features,
+    )
+    from tests.test_jpeg import Q_ONE, _test_image, encode_gray_jpeg
+
+    jpg = encode_gray_jpeg(_test_image(), Q_ONE)
+    avi = encode_avi_mjpeg(jpg)
+    assert decode_avi_mjpeg(avi) == decode_jpeg_features(jpg)
+    fmt, w, h, feat = _decode(avi)
+    assert fmt == "avi" and (w, h) == (37, 29)
+    # frame-less AVI degrades to the stub, format preserved
+    empty = b"RIFF" + (4).to_bytes(4, "little") + b"AVI "
+    fmt2, _, _, _ = _decode(empty)
+    assert fmt2 == "avi"
+
+
+def test_media_features_gif_and_avi_through_spark(spark):
+    from manga_ocr_spark.operators.multimodal import media_features
+    from tests.test_jpeg import Q_ONE, _test_image, encode_gray_jpeg
+
+    grid = np.full((6, 5), 0, dtype=np.int64)
+    gif = encode_gif(grid, [(120, 120, 120), (0, 0, 0)])
+    avi = encode_avi_mjpeg(encode_gray_jpeg(_test_image(), Q_ONE))
+    df = spark.createDataFrame(
+        [(0, bytearray(gif)), (1, bytearray(avi))], "media_id long, payload binary"
+    )
+    out = {r.media_id: r for r in media_features(df).collect()}
+    assert out[0].format == "gif" and (out[0].width, out[0].height) == (5, 6)
+    assert abs(out[0].feature[0] - round(120 / 255, 6)) < 1e-6
+    assert out[1].format == "avi" and (out[1].width, out[1].height) == (37, 29)
+
+
+def test_gif_known_real_world_bytes():
+    # the canonical 1x1 "transparent pixel" GIF89a byte string produced by
+    # real tools — validates the decoder against bytes NOT emitted by the
+    # test-side encoder (no correlated-bug risk)
+    from manga_ocr_spark.operators.multimodal import decode_gif
+
+    onepx = bytes.fromhex(
+        "47494638396101000100800000000000ffffff21f90401000000002c000000"
+        "000100010000020244010" + "03b"
+    )
+    w, h, feat = decode_gif(onepx)
+    assert (w, h) == (1, 1)
+    assert feat[0] == 0.0  # single black pixel
