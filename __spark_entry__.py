@@ -171,10 +171,17 @@ def _q_window_package(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Exchange SinglePartition — the classic 100x scale-killer, plan now
     # pinned absent by tests/test_plans.py); range-bucketed local ranks +
     # driver-side offsets give the identical result fully partitioned.
+    # The packaging key is the URL — a STRING whose lexicographic order
+    # deliberately differs from doc_id's numeric order ('.../10' <
+    # '.../2'), exercising the seeded-sample string range partitioner
+    # end-to-end against the SQL oracle's own string sort.
     from manga_ocr_spark.operators.ranking import global_row_number
 
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.concat(F.lit("https://docs.example/"), F.col("doc_id"))
+    )
     return (
-        global_row_number(_t(spark, sf_dir, "documents"), "doc_id", num_buckets=32)
+        global_row_number(docs, "url", num_buckets=32)
         .withColumn(
             "package",
             F.format_string("pkg%04d", F.floor((F.col("rn") - 1) / 100).cast("int")),
@@ -1103,7 +1110,9 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3"""
                    min(doc_id) as min_id, max(doc_id) as max_id
             from (
               select doc_id,
-                     ((row_number() over (order by doc_id)) - 1) // 100 as pkgnum
+                     ((row_number() over (
+                        order by 'https://docs.example/' || doc_id)) - 1) // 100
+                       as pkgnum
               from documents
             )
             group by 1""",

@@ -52,6 +52,10 @@ SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
     "hangul": ((0x1100, 0x11FF), (0x3131, 0x318E), (0xAC00, 0xD7A3)),
     "cyrillic": ((0x0400, 0x04FF),),
     "greek": ((0x0370, 0x0373), (0x0376, 0x0377), (0x037B, 0x03FF)),
+    "arabic": ((0x0600, 0x06FF), (0x0750, 0x077F)),  # + supplement
+    "hebrew": ((0x0591, 0x05F4),),
+    "devanagari": ((0x0900, 0x097F),),
+    "thai": ((0x0E01, 0x0E5B),),
     "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x24F)),
 }
 
@@ -69,6 +73,10 @@ SCRIPT_LANG_RULES: tuple[tuple[str, tuple[str, ...], int], ...] = (
     ("ko", ("hangul",), 4),
     ("ru", ("cyrillic",), 4),
     ("el", ("greek",), 4),
+    ("ar", ("arabic",), 4),
+    ("he", ("hebrew",), 4),
+    ("hi", ("devanagari",), 4),
+    ("th", ("thai",), 4),
 )
 
 

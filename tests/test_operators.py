@@ -463,13 +463,18 @@ def test_lang_id_script_tier_cjk_and_alphabets(spark):
         10: "the quick brown fox and the lazy dog of the farm " * 20 + "ね",
         # Japanese prose: kana >= 5% wins over the han rule (ja, not zh)
         11: "日本語の文章には仮名が含まれているので中国語ではなく日本語と判定される",
+        12: "النص العربي هنا للاختبار والفحص",           # arabic -> ar
+        13: "טקסט בעברית לבדיקה ובחינה",                  # hebrew -> he
+        14: "यह हिन्दी में लिखा गया पाठ है",                  # devanagari -> hi
+        15: "ข้อความภาษาไทยสำหรับทดสอบ",                 # thai -> th
     }
     df = spark.createDataFrame(
         [Row(doc_id=k, text=v) for k, v in texts.items()], "doc_id int, text string"
     )
     out = {r.doc_id: r.lang for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
     assert out == {0: "ja", 1: "ja", 2: "ja", 3: "zh", 4: "ko", 5: "ru",
-                   6: "el", 7: "en", 8: "de", 9: "und", 10: "en", 11: "ja"}
+                   6: "el", 7: "en", 8: "de", 9: "und", 10: "en", 11: "ja",
+                   12: "ar", 13: "he", 14: "hi", 15: "th"}
 
 
 def test_quality_panel_duckdb_oracle_matches_on_multilingual_corpus(spark):
@@ -492,6 +497,10 @@ def test_quality_panel_duckdb_oracle_matches_on_multilingual_corpus(spark):
         "한국어 텍스트 감사합니다",
         "русский текст для проверки",
         "ελληνικό κείμενο εδώ",
+        "النص العربي هنا للاختبار",
+        "טקסט בעברית לבדיקה",
+        "यह हिन्दी में लिखा गया पाठ है",
+        "ข้อความภาษาไทยสำหรับทดสอบ",
         "the cat and the dog of mine",
         "mixed english with 日本語 inside それ and more",
         "",

@@ -84,6 +84,15 @@ NOTES = {
         "JVM-side. Pigeonhole: every pair under 4 bits of difference shares "
         "a band, so no all-pairs join is ever needed."
     ),
+    "quality_scores": (
+        "The full text-analysis panel — token counts, ratios, two-tier "
+        "lang-id (script-class fractions + marker words), per-script "
+        "character profile, Gopher repetition fractions — is ONE Project "
+        "over ONE scan: zero Exchange, zero joins, all inside whole-stage "
+        "codegen. Per-row work only, so it survives 10^12 docs by "
+        "construction; the shuffle-free shape is pinned by "
+        "tests/test_plans.py."
+    ),
 }
 
 
@@ -118,6 +127,7 @@ def main() -> None:
         "cosine_topk": cosine_topk(emb.filter("vec_id < 5"), emb),
         "window_package_docs": E._q_window_package(spark, SF_DIR),
         "ann_lsh_topk": E._q_ann_lsh(spark, SF_DIR),
+        "quality_scores": E._q_quality(spark, SF_DIR),
     }
 
     out = [
