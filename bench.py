@@ -111,8 +111,11 @@ def _timed_extract(spark, sf_dir: str, fanout: int, salt_partitions: int) -> dic
     return {"docs": n_docs, "sec": round(sec, 3), "docs_per_sec": round(n_docs / sec, 1)}
 
 
-def _headline_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Full-size variants of the operator inventory (no oracle-subsetting)."""
+def _headline_queries(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+    """Full-size variants of the operator inventory (no oracle-subsetting).
+    Returns (median per query, {min, med, max} spread per query)."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E

@@ -42,7 +42,9 @@ def extract(payload: bytes | bytearray | None, max_bytes: int = MAX_HTML_BYTES) 
         if payload is not None:
             from manga_ocr_spark.extraction.pdf import sniff_pdf
 
-            if sniff_pdf(bytes(payload[:1024])) >= 0:
+            # 2048: the header may sit up to 1024 bytes in, and sniff_pdf's
+            # structure check reads up to 1024 bytes past the header
+            if sniff_pdf(bytes(payload[:2048])) >= 0:
                 return _extract_pdf(bytes(payload), max_bytes)
         html_text = decode_html(payload, max_bytes=max_bytes)
         if not html_text:

@@ -921,7 +921,9 @@ def sniff_pdf(payload: bytes) -> int:
     # pre-header junk (CGI preambles, BOMs, HTTP noise) contains none.
     if b"<" in head[:idx]:
         return -1
-    if idx > 0 and not _PDF_STRUCTURE.search(head[idx:]):
+    # structure window starts AT the header, not inside the preamble-capped
+    # head — a real PDF behind a ~1 KB preamble must still qualify
+    if idx > 0 and not _PDF_STRUCTURE.search(bytes(payload[idx : idx + 1024])):
         return -1
     return idx
 

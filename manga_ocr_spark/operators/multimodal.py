@@ -310,30 +310,34 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
 
 
 def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
-    """Tiny GIF LZW compressor (fixture-synthesis side of
-    :func:`gif_payload_from_id`), mirroring the deferred-width
-    convention of :func:`_gif_lzw_decode`; validated against the
-    INDEPENDENT encoder in tests/test_multimodal.py."""
+    """All-LITERAL GIF LZW stream (fixture-synthesis side of
+    :func:`gif_payload_from_id`): every pixel is emitted as its own
+    root code — no dictionary, no compression, just the width/clear
+    bookkeeping a conforming decoder expects (the decoder still builds
+    its table per spec, so the emitted width must track its
+    deferred-width schedule, and a clear resets before the 12-bit cap).
+    Deliberately a DIFFERENT algorithm from both the engine decoder and
+    the dictionary-building encoder in tests/test_multimodal.py, so the
+    three implementations cross-validate instead of sharing bugs."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits: list[tuple[int, int]] = []
+
     width = mcs + 1
-    table = {(i,): i for i in range(1 << mcs)}
-    next_code = eoi + 1
-    bits: list[tuple[int, int]] = [(clear, width)]
-    buf: tuple = ()
+    dict_next = eoi + 1
+    since_clear = 0
+    bits.append((clear, width))
     for px in indices:
-        cand = buf + (px,)
-        if cand in table:
-            buf = cand
-            continue
-        bits.append((table[buf], width))
-        if next_code < 4096:
-            table[cand] = next_code
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
+        if since_clear >= 64:  # stay far from the 12-bit cap
+            bits.append((clear, width))
+            width = mcs + 1
+            dict_next = eoi + 1
+            since_clear = 0
+        bits.append((px, width))
+        if since_clear > 0:  # decoder inserts on every code after the first
+            dict_next += 1
+            if dict_next == (1 << width) - 1 and width < 12:
                 width += 1
-        buf = (px,)
-    if buf:
-        bits.append((table[buf], width))
+        since_clear += 1
     bits.append((eoi, width))
     acc = n = 0
     out = bytearray()
@@ -438,22 +442,28 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("not an AVI")
     from manga_ocr_spark.operators.jpeg import decode_jpeg_luma
 
+    def first_frame(pos: int, end: int) -> bytes | None:
+        """First ##dc/##db chunk in [pos, end), descending into LISTs —
+        covers frames directly in `movi` AND inside `rec ` grouping
+        LISTs (interleaved AVIs wrap each frame bundle in one)."""
+        for fourcc, start, size in _riff_chunks(data, pos, end):
+            if fourcc[2:4] in (b"dc", b"db") and size > 2:
+                return data[start : start + size]
+            if fourcc == b"LIST":
+                inner = first_frame(start + 4, start + size)
+                if inner is not None:
+                    return inner
+        return None
+
     def find_movi(pos: int, end: int) -> bytes | None:
         for fourcc, start, size in _riff_chunks(data, pos, end):
             if fourcc == b"LIST":
                 ltype = data[start : start + 4]
                 if ltype == b"movi":
-                    for fc, s, sz in _riff_chunks(data, start + 4, start + size):
-                        if fc[2:4] in (b"dc", b"db") and sz > 2:
-                            return data[s : s + sz]
-                        if fc == b"LIST":  # rec  grouping
-                            inner = find_movi(s - 8, s + sz)
-                            if inner is not None:
-                                return inner
-                else:
-                    inner = find_movi(start + 4, start + size)
-                    if inner is not None:
-                        return inner
+                    return first_frame(start + 4, start + size)
+                inner = find_movi(start + 4, start + size)
+                if inner is not None:
+                    return inner
         return None
 
     frame = find_movi(12, 8 + int.from_bytes(data[4:8], "little"))
@@ -592,10 +602,10 @@ def gif_payload_from_id(col):
     bytes. Every decode result is analytic: n_bytes = 256, every nonempty
     luma band = g, so feature[0] = round(g/255, 6) — a SQL oracle
     recomputes the full result from the id alone (same pattern as
-    :func:`wav_payload_from_id`). The LZW stream comes from a real
-    (tiny) LZW compressor using the same deferred-width convention as
-    :func:`_gif_lzw_decode`; the independent test-side encoder in
-    tests/test_multimodal.py stays the validation of that convention."""
+    :func:`wav_payload_from_id`). The LZW stream is the all-literal form
+    from :func:`_gif_lzw_encode` — an algorithm deliberately different
+    from both the engine decoder and the dictionary-building test-side
+    encoder, so no two implementations can share a bug."""
     from pyspark.sql.types import BinaryType
 
     @F.pandas_udf(BinaryType())

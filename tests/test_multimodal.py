@@ -428,3 +428,36 @@ def test_gif_known_real_world_bytes():
     w, h, feat = decode_gif(onepx)
     assert (w, h) == (1, 1)
     assert feat[0] == 0.0  # single black pixel
+
+
+def test_avi_rec_grouped_frame_decodes():
+    # review finding: interleaved AVIs wrap frame bundles in 'rec '
+    # grouping LISTs inside movi — the frame must still be found there
+    from manga_ocr_spark.operators.multimodal import decode_avi_mjpeg
+    from tests.test_jpeg import Q_ONE, _test_image, encode_gray_jpeg
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    jpg = encode_gray_jpeg(_test_image(), Q_ONE)
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", jpg))
+    movi = chunk(b"LIST", b"movi" + rec)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 56))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert decode_avi_mjpeg(avi) == decode_avi_mjpeg(encode_avi_mjpeg(jpg))
+
+
+def test_gif_literal_fixture_stream_roundtrips():
+    # the all-literal fixture compressor must be readable by the engine
+    # decoder across clear/width-bump boundaries (incl. >64-symbol runs)
+    from manga_ocr_spark.operators.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+    import random
+
+    rng = random.Random(99)
+    for mcs in (2, 3, 4, 8):
+        for n in (1, 2, 63, 64, 65, 200, 1000):
+            idx = [rng.randrange(1 << mcs) for _ in range(n)]
+            assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs) == idx, (mcs, n)

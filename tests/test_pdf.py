@@ -560,3 +560,19 @@ def test_plain_text_mentioning_pdf_header_not_routed_to_pdf_tier():
     # preamble + real structure still accepted
     junked = b"Content-Type: application/pdf\r\n\r\n" + pdf
     assert extract_pdf_lines(junked) == ["zero offset"]
+
+
+def test_pdf_behind_long_preamble_still_dispatches():
+    # review finding: the structure window must start AT the header, not
+    # inside the 1024-byte preamble cap — a real PDF behind a ~1 KB
+    # CGI/HTTP preamble still belongs to the PDF tier
+    from manga_ocr_spark.extraction.core import extract
+    from manga_ocr_spark.extraction.pdf import sniff_pdf
+
+    pdf = _simple_pdf(b"BT /F1 12 Tf (deep preamble) Tj ET")
+    preamble = b"X-Proxy-Log: " + b"a" * 980 + b"\r\n\r\n"  # header lands near offset 1000
+    junked = preamble + pdf
+    idx = sniff_pdf(junked)
+    assert idx == len(preamble)
+    assert extract_pdf_lines(junked) == ["deep preamble"]
+    assert extract(junked).text == "deep preamble"
