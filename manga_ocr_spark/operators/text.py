@@ -162,16 +162,29 @@ def lang_id(col: Column) -> Column:
     The DuckDB oracle CASE is generated from the SAME two tables
     (SCRIPT_LANG_RULES + LANG_MARKERS) in __spark_entry__, so both sides
     update in lockstep."""
-    counts = {lang: marker_count(col, ws) for lang, ws in LANG_MARKERS.items()}
-    best = F.greatest(*counts.values())
+    return _lang_from_counts(
+        {s: script_count(col, s) for s in SCRIPT_RANGES},
+        {lang: marker_count(col, ws) for lang, ws in LANG_MARKERS.items()},
+        F.length(col),
+    )
+
+
+def _lang_from_counts(
+    script_counts: dict[str, Column], marker_counts: dict[str, Column], n: Column
+) -> Column:
+    """The lang_id decision tree over PRECOMPUTED count columns — the one
+    definition of the rule logic, shared by :func:`lang_id` (inline
+    expressions) and :func:`quality_panel` (layered shared columns)."""
+    best = F.greatest(*marker_counts.values())
     expr = F.lit("und")
     # build reversed so earlier languages win ties
     for lang in reversed(list(LANG_MARKERS)):
-        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+        expr = F.when((best > 0) & (marker_counts[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
     # script tier wraps the marker tier, reversed so the FIRST rule wins
-    n = F.length(col)
     for lang, scripts, mult in reversed(SCRIPT_LANG_RULES):
-        cnt = sum((script_count(col, s) for s in scripts[1:]), script_count(col, scripts[0]))
+        cnt = sum((script_counts[s] for s in scripts[1:]), script_counts[scripts[0]])
         expr = F.when((cnt > 0) & (cnt * mult >= n), F.lit(lang)).otherwise(expr)
     return expr
 
@@ -287,21 +300,93 @@ def repetition_columns(text_col: str = "text") -> list[Column]:
 def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     """The full per-doc text-analysis feature vector in ONE pass: token
     count, stopword/alpha ratios, mean token length, composite quality,
-    marker-word lang-id, and the Gopher repetition fractions. Every
-    column is a pure expression — a single scan, zero shuffles/joins
-    (plan-pinned by tests/test_plans.py). Shared by the driver query and
-    bench so both measure the same plan."""
+    two-tier lang-id, per-script character fractions, and the Gopher
+    repetition fractions. A single scan, zero shuffles/joins (plan-pinned
+    by tests/test_plans.py).
+
+    STRUCTURE MATTERS HERE: the panel is built as LAYERED selects whose
+    intermediate columns (token array, script/marker counts, stopword
+    count, ...) are each referenced more than once downstream, so every
+    regex/tokenize primitive is evaluated ONCE per row and shared.
+    This matters because the panel's higher-order functions (aggregate/
+    filter/zip_with) are CodegenFallback expressions — the Project runs
+    OUTSIDE whole-stage codegen, where duplicated subtrees (e.g. each
+    marker count appearing in the argmax AND in `best`, each script
+    count in its rule AND its fraction) are genuinely re-evaluated.
+    Catalyst's CollapseProject leaves this layering alone precisely
+    because the aliases are non-cheap and multi-referenced;
+    tests/test_plans.py pins the zero-Exchange single-scan shape."""
     text = F.col(text_col)
-    return df.select(
+    # layer 1: per-row primitives, each computed once per row
+    s1 = df.select(
         F.col(id_col),
-        token_count(text).cast("long").alias("n_tokens"),
-        stopword_ratio(text).alias("stopword_ratio"),
-        mean_token_len(text).alias("mean_token_len"),
-        alpha_ratio(text).alias("alpha_ratio"),
-        quality_score(text).alias("quality"),
-        lang_id(text).alias("lang_pred"),
-        *[script_frac(text, s).alias(f"{s}_frac") for s in SCRIPT_RANGES],
-        *repetition_columns(text_col),
+        F.length(text).alias("__n"),
+        F.length(F.trim(text)).alias("__trimlen"),
+        tokens(text).alias("__toks"),
+        F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", "")).alias("__alnum"),
+        *[script_count(text, s).alias(f"__sc_{s}") for s in SCRIPT_RANGES],
+        *[
+            marker_count(text, ws).alias(f"__mc_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    # layer 2: token-array derivatives (reference __toks several times)
+    tk = F.col("__toks")
+    n_tok = F.size(tk)
+    s2 = s1.select(
+        F.col(id_col),
+        "__n",
+        "__trimlen",
+        "__alnum",
+        *[f"__sc_{s}" for s in SCRIPT_RANGES],
+        *[f"__mc_{lang}" for lang in LANG_MARKERS],
+        n_tok.alias("__ntok"),
+        F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS))).alias("__nstop"),
+        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias(
+            "__toklen"
+        ),
+        top_gram_frac(F.filter(tk, lambda t: F.length(t) > 0)).alias("__uni_frac"),
+        top_gram_frac(
+            F.zip_with(
+                F.slice(tk, 1, F.greatest(n_tok - 1, F.lit(0))),
+                F.slice(tk, 2, F.greatest(n_tok - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("__bi_frac"),
+    )
+    # layer 3: final columns — arithmetic over the shared primitives
+    n = F.col("__n")
+    ntok = F.col("__ntok")
+    stop_ratio = F.round(F.col("__nstop") / F.greatest(ntok, F.lit(1)), 6)
+    alpha = F.round(F.col("__alnum") / F.greatest(n, F.lit(1)), 6)
+    return s2.select(
+        F.col(id_col),
+        F.when(F.col("__trimlen") == 0, F.lit(0))
+        .otherwise(ntok)
+        .cast("long")
+        .alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(F.col("__toklen") / F.greatest(ntok, F.lit(1)), 6).alias(
+            "mean_token_len"
+        ),
+        alpha.alias("alpha_ratio"),
+        F.round(
+            0.4 * F.least(n / F.lit(500.0), F.lit(1.0))
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.3 * alpha,
+            6,
+        ).alias("quality"),
+        _lang_from_counts(
+            {s: F.col(f"__sc_{s}") for s in SCRIPT_RANGES},
+            {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},
+            n,
+        ).alias("lang_pred"),
+        *[
+            F.round(F.col(f"__sc_{s}") / F.greatest(n, F.lit(1)), 6).alias(f"{s}_frac")
+            for s in SCRIPT_RANGES
+        ],
+        F.coalesce(F.col("__uni_frac"), F.lit(0.0)).alias("top_unigram_frac"),
+        F.coalesce(F.col("__bi_frac"), F.lit(0.0)).alias("top_bigram_frac"),
     )
 
 
