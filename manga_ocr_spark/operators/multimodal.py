@@ -8,8 +8,8 @@ Decode tiers (all REAL decoders are public-spec, stdlib+numpy, no codec
 libraries):
 
 - **PNG** — chunk walk, zlib IDAT inflate, per-scanline un-filtering
-  (all five filter types), numpy pixel stats. 8-bit gray/RGB/alpha,
-  non-interlaced.
+  (all five filter types), numpy pixel stats. 8-bit gray/RGB/alpha and
+  PLTE-paletted (depths 1/2/4/8), non-interlaced and Adam7.
 - **JPEG** — T.81 baseline (SOF0) AND progressive (SOF2: spectral
   selection, successive approximation, EOB runs) via operators/jpeg.py:
   Huffman entropy decode, dequant, IDCT, luma plane; validated against
@@ -128,9 +128,11 @@ _ADAM7 = (
 def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib PNG decode -> (width, height, 8 luma-band features).
 
-    Supports bit depth 8, color types 0/2/4/6 (gray, RGB, +alpha),
-    non-interlaced AND Adam7-interlaced. Features: mean luminance of 8
-    horizontal bands, alpha excluded, normalized to [0, 1] and rounded to
+    Supports bit depth 8 for color types 0/2/3/4/6 (gray, RGB, paletted,
+    +alpha) and bit depths 1/2/4 for paletted (non-interlaced),
+    non-interlaced AND Adam7-interlaced for byte-aligned variants.
+    Features: mean luminance of 8 horizontal bands, alpha excluded,
+    palette resolved through PLTE, normalized to [0, 1] and rounded to
     6 places. Raises on anything it does not support (caller falls back).
     """
     import struct
@@ -141,12 +143,17 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         typ = data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += chunk
         elif typ == b"IEND":
@@ -155,9 +162,33 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 4, 6):
+    if interlace not in (0, 1) or color not in (0, 2, 3, 4, 6):
         raise ValueError("unsupported PNG variant")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    if depth != 8 and not (color == 3 and depth in (1, 2, 4) and interlace == 0):
+        # sub-byte depths: paletted non-interlaced only (the common case
+        # for small crawled graphics; interlaced sub-byte packs per-pass
+        # strides and is rare enough to stub)
+        raise ValueError("unsupported PNG bit depth")
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        if depth < 8:
+            stride = (w * depth + 7) // 8
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != h * (stride + 1):
+                raise ValueError("IDAT size mismatch")
+            packed = _png_unfilter(raw, h, stride, 1)
+            # unpack MSB-first sub-byte indices
+            bits = np.unpackbits(packed, axis=1)[:, : w * depth].reshape(h, w, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+            idx = (bits.astype(np.int64) * weights).sum(axis=2)
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("palette index out of range")
+            luma = plte[idx].astype(np.float64).mean(axis=2)
+            bands = np.array_split(luma, FEATURE_DIM, axis=0)
+            feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+            return int(w), int(h), feat
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * channels
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
@@ -181,8 +212,14 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
         if len(raw) != h * (stride + 1):
             raise ValueError("IDAT size mismatch")
         px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
-    color_ch = {0: 1, 2: 3, 4: 1, 6: 3}[color]  # drop alpha from stats
-    luma = px[:, :, :color_ch].astype(np.float64).mean(axis=2)  # (h, w)
+    if color == 3:
+        idx = px[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        luma = plte[idx].astype(np.float64).mean(axis=2)  # (h, w)
+    else:
+        color_ch = {0: 1, 2: 3, 4: 1, 6: 3}[color]  # drop alpha from stats
+        luma = px[:, :, :color_ch].astype(np.float64).mean(axis=2)  # (h, w)
     bands = np.array_split(luma, FEATURE_DIM, axis=0)
     feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
     return int(w), int(h), feat

@@ -461,3 +461,71 @@ def test_gif_literal_fixture_stream_roundtrips():
         for n in (1, 2, 63, 64, 65, 200, 1000):
             idx = [rng.randrange(1 << mcs) for _ in range(n)]
             assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs) == idx, (mcs, n)
+
+
+def encode_png_paletted(idx: np.ndarray, palette: list[tuple[int, int, int]], depth: int = 8) -> bytes:
+    """Independent paletted (color type 3) PNG encoder: PLTE + packed
+    indices at depth 1/2/4/8, filter 0 rows."""
+    h, w = idx.shape
+    plte = b"".join(bytes(c) for c in palette)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter none
+        if depth == 8:
+            raw += bytes(int(v) for v in idx[y])
+        else:
+            acc = nbits = 0
+            rowbytes = bytearray()
+            for v in idx[y]:
+                acc = (acc << depth) | int(v)
+                nbits += depth
+                if nbits == 8:
+                    rowbytes.append(acc)
+                    acc = nbits = 0
+            if nbits:
+                rowbytes.append(acc << (8 - nbits))
+            raw += rowbytes
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_paletted_depths_decode():
+    from manga_ocr_spark.operators.multimodal import decode_png
+
+    pal16 = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    rng = np.random.RandomState(5)
+    for depth, ncolors in ((8, 16), (4, 16), (2, 4), (1, 2)):
+        idx = rng.randint(0, ncolors, size=(11, 13))
+        data = encode_png_paletted(idx, pal16[:ncolors], depth)
+        w, h, feat = decode_png(data)
+        assert (w, h) == (13, 11), depth
+        pal = np.array(pal16[:ncolors], dtype=np.float64)
+        luma = pal[idx].mean(axis=2)
+        want = [
+            round(float(b.mean()) / 255.0, 6)
+            for b in np.array_split(luma, FEATURE_DIM, axis=0)
+        ]
+        assert feat == want, f"depth={depth}"
+
+
+def test_png_paletted_guards():
+    import pytest
+
+    from manga_ocr_spark.operators.multimodal import _decode, decode_png
+
+    idx = np.zeros((4, 4), dtype=np.int64)
+    # index beyond palette -> raises -> stub tier
+    data = encode_png_paletted(idx + 3, [(1, 2, 3), (4, 5, 6)], 8)
+    with pytest.raises(ValueError):
+        decode_png(data)
+    assert _decode(data)[0] == "png"  # degraded, format preserved
+    # missing PLTE
+    stripped = data.replace(b"PLTE", b"plTe")  # unknown chunk: skipped
+    with pytest.raises(ValueError):
+        decode_png(stripped)

@@ -87,8 +87,13 @@ NOTES = {
     "quality_scores": (
         "The full text-analysis panel — token counts, ratios, two-tier "
         "lang-id (script-class fractions + marker words), per-script "
-        "character profile, Gopher repetition fractions — is ONE Project "
-        "over ONE scan: zero Exchange, zero joins, all inside whole-stage "
+        "character profile, Gopher repetition fractions — is a chain of "
+        "three Projects over ONE scan: zero Exchange, zero joins. The "
+        "layering is deliberate: each regex/tokenize primitive is an "
+        "alias referenced more than once downstream, so it is evaluated "
+        "once per row even though the higher-order-function layer (the "
+        "unstarred Project) runs outside whole-stage codegen "
+        "(CodegenFallback); the starred Projects around it stay inside "
         "codegen. Per-row work only, so it survives 10^12 docs by "
         "construction; the shuffle-free shape is pinned by "
         "tests/test_plans.py."
