@@ -7,9 +7,10 @@ is pixels for the same reason — SURVEY.md §1.1).
 Decode tiers (all REAL decoders are public-spec, stdlib+numpy, no codec
 libraries):
 
-- **PNG** — chunk walk, zlib IDAT inflate, per-scanline un-filtering
-  (all five filter types), numpy pixel stats. 8-bit gray/RGB/alpha and
-  PLTE-paletted (depths 1/2/4/8), non-interlaced and Adam7.
+- **PNG** — chunk walk, size-capped IDAT inflate, per-scanline
+  un-filtering (all five filter types), numpy pixel stats. 8-bit
+  gray/RGB/alpha/paletted, non-interlaced and Adam7; sub-byte paletted
+  (depths 1/2/4) non-interlaced only (interlaced sub-byte stubs).
 - **JPEG** — T.81 baseline (SOF0) AND progressive (SOF2: spectral
   selection, successive approximation, EOB runs) via operators/jpeg.py:
   Huffman entropy decode, dequant, IDCT, luma plane; validated against
@@ -62,7 +63,29 @@ MEDIA_FEATURE_SCHEMA = StructType(
 
 FEATURE_DIM = 8
 
+# dimension sanity cap shared by the image decoders: header-declared
+# w*h bounds the allocations, so a crafted header must be rejected
+# before any buffer exists. 25 MP (~75 MB RGB) is far beyond crawled
+# thumbnails; genuinely larger images degrade to the stub tier, which
+# is the uniform oversize contract.
+_MAX_PIXELS = 25_000_000
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _inflate_exact(idat: bytes, expected: int) -> bytes:
+    """zlib-inflate with the repo's decompression-bomb convention
+    (cf. extraction/pdf.py / sources/warc.py): the caller KNOWS the
+    exact plaintext size from the header, so cap the inflate at
+    expected+1 and require an exact match — a crafted 1000:1 stream
+    never allocates beyond the declared image size."""
+    import zlib
+
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected:
+        raise ValueError("IDAT size mismatch")
+    return raw
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -164,6 +187,11 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if interlace not in (0, 1) or color not in (0, 2, 3, 4, 6):
         raise ValueError("unsupported PNG variant")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        # header-declared dims bound every allocation below — reject
+        # crafted headers BEFORE allocating (a worker OOM is not
+        # recoverable by the per-row except in _decode)
+        raise ValueError("PNG dimensions out of bounds")
     if depth != 8 and not (color == 3 and depth in (1, 2, 4) and interlace == 0):
         # sub-byte depths: paletted non-interlaced only (the common case
         # for small crawled graphics; interlaced sub-byte packs per-pass
@@ -174,9 +202,7 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
             raise ValueError("paletted PNG without PLTE")
         if depth < 8:
             stride = (w * depth + 7) // 8
-            raw = zlib.decompress(bytes(idat))
-            if len(raw) != h * (stride + 1):
-                raise ValueError("IDAT size mismatch")
+            raw = _inflate_exact(bytes(idat), h * (stride + 1))
             packed = _png_unfilter(raw, h, stride, 1)
             # unpack MSB-first sub-byte indices
             bits = np.unpackbits(packed, axis=1)[:, : w * depth].reshape(h, w, depth)
@@ -190,27 +216,29 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
             return int(w), int(h), feat
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images, de-interlaced
-        # back onto the full-pixel grid
-        px = np.zeros((h, w, channels), dtype=np.uint8)
-        pos2 = 0
+        # back onto the full-pixel grid; total plaintext size is the sum
+        # of the per-pass sub-images, computable before inflating
+        passes = []
         for xs, ys, xstep, ystep in _ADAM7:
             pw = -(-(w - xs) // xstep) if w > xs else 0
             ph = -(-(h - ys) // ystep) if h > ys else 0
-            if pw <= 0 or ph <= 0:
-                continue
+            if pw > 0 and ph > 0:
+                passes.append((xs, ys, xstep, ystep, pw, ph))
+        raw = _inflate_exact(
+            bytes(idat), sum(ph * (pw * channels + 1) for *_, pw, ph in passes)
+        )
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos2 = 0
+        for xs, ys, xstep, ystep, pw, ph in passes:
             pstride = pw * channels
             sub_raw = raw[pos2 : pos2 + ph * (pstride + 1)]
             pos2 += ph * (pstride + 1)
             sub = _png_unfilter(sub_raw, ph, pstride, channels).reshape(ph, pw, channels)
             px[ys::ystep, xs::xstep] = sub
-        if pos2 != len(raw):
-            raise ValueError("IDAT size mismatch")
     else:
-        if len(raw) != h * (stride + 1):
-            raise ValueError("IDAT size mismatch")
+        raw = _inflate_exact(bytes(idat), h * (stride + 1))
         px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if color == 3:
         idx = px[:, :, 0].astype(np.int64)
@@ -292,12 +320,16 @@ def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
     return nch, nframes, feat
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _gif_lzw_decode(data: bytes, min_code_size: int, limit: int | None = None) -> list[int]:
     """GIF LZW -> pixel index list. DIFFERENT from the PDF/TIFF LZW in
     extraction/pdf.py on three axes (which is why it is not reused):
     LSB-first bit packing (PDF is MSB-first), late width change (PDF uses
     the TIFF early-change variant), and explicit clear/EOI codes at
-    2^min_code_size (PDF's sit at 256/257)."""
+    2^min_code_size (PDF's sit at 256/257).
+
+    ``limit`` caps the OUTPUT length (LZW is expansive — a KB-size
+    crafted stream can otherwise blow up to GBs; the caller knows w*h,
+    the only amount it can use)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -335,6 +367,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             else:
                 raise ValueError("corrupt GIF LZW code")
             out.extend(entry)
+            if limit is not None and len(out) >= limit:
+                return out[:limit]
             prev = entry
             # deferred-width sync: the decoder's dictionary lags the
             # encoder's by one entry (the entry created by code #k is
@@ -419,6 +453,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[float]]:
             raise ValueError("unexpected GIF block")
         w = int.from_bytes(data[pos + 5 : pos + 7], "little")
         h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            raise ValueError("GIF dimensions out of bounds")
         iflags = data[pos + 9]
         pos += 10
         pal = gct
@@ -436,7 +472,7 @@ def decode_gif(data: bytes) -> tuple[int, int, list[float]]:
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = _gif_lzw_decode(bytes(lzw), min_code)
+        idx = _gif_lzw_decode(bytes(lzw), min_code, limit=w * h)
         if len(idx) < w * h:
             raise ValueError("truncated GIF image data")
         grid = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)

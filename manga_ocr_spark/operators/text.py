@@ -112,32 +112,62 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+# -- count-parameterized forms ----------------------------------------------
+# Each ratio/score has ONE definition, over precomputed count columns;
+# the standalone operators below pass inline expressions, quality_panel
+# passes its shared layer-1/2 columns. Same pattern as _lang_from_counts —
+# editing a weight or a rounding contract cannot diverge the two paths.
+
+
+def _stop_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def _token_len_sum(toks: Column) -> Column:
+    return F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+
+
+def _alnum_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
+
+
+def _stop_ratio_from(nstop: Column, ntok: Column) -> Column:
+    return F.round(nstop / F.greatest(ntok, F.lit(1)), 6)
+
+
+def _mean_token_len_from(toklen: Column, ntok: Column) -> Column:
+    return F.round(toklen / F.greatest(ntok, F.lit(1)), 6)
+
+
+def _alpha_ratio_from(alnum: Column, n: Column) -> Column:
+    return F.round(alnum / F.greatest(n, F.lit(1)), 6)
+
+
+def _quality_from(n: Column, stop_ratio: Column, alpha: Column) -> Column:
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    return F.round(0.4 * length_term + 0.3 * (1.0 - stop_ratio) + 0.3 * alpha, 6)
+
+
 def stopword_ratio(col: Column) -> Column:
     """Fraction of tokens that are stopwords — a quality-score component."""
     toks = tokens(col)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return F.round(stop / F.greatest(F.size(toks), F.lit(1)), 6)
+    return _stop_ratio_from(_stop_count(toks), F.size(toks))
 
 
 def mean_token_len(col: Column) -> Column:
     toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+    return _mean_token_len_from(_token_len_sum(toks), F.size(toks))
 
 
 def alpha_ratio(col: Column) -> Column:
     """Share of alphanumeric characters — boilerplate/garbage signal."""
-    alnum = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
-    return F.round(alnum / F.greatest(F.length(col), F.lit(1)), 6)
+    return _alpha_ratio_from(_alnum_count(col), F.length(col))
 
 
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality score (length/stopword/alpha mix) —
     the relational analogue of the extraction scorer's keep decision."""
-    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    return F.round(
-        0.4 * length_term + 0.3 * (1.0 - stopword_ratio(col)) + 0.3 * alpha_ratio(col), 6
-    )
+    return _quality_from(F.length(col), stopword_ratio(col), alpha_ratio(col))
 
 
 def marker_count(col: Column, words: tuple[str, ...]) -> Column:
@@ -233,14 +263,20 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.encode(canon, "UTF-8"))
 
 
-def word_bigrams(col: Column) -> Column:
-    """Adjacent word 2-grams as 'a b' strings (empty array below 2
-    tokens). zip_with over two shifted slices — pure expression."""
-    toks = tokens(col)
+def word_bigrams_from_tokens(toks: Column) -> Column:
+    """Adjacent word 2-grams over a PRECOMPUTED token array — the one
+    definition shared by :func:`word_bigrams` and quality_panel's
+    layered form."""
     n = F.size(toks)
     left = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
     right = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
     return F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
+
+
+def word_bigrams(col: Column) -> Column:
+    """Adjacent word 2-grams as 'a b' strings (empty array below 2
+    tokens). zip_with over two shifted slices — pure expression."""
+    return word_bigrams_from_tokens(tokens(col))
 
 
 def top_gram_frac(grams: Column) -> Column:
@@ -284,9 +320,11 @@ def top_gram_frac(grams: Column) -> Column:
 
 def repetition_columns(text_col: str = "text") -> list[Column]:
     """The two Gopher repetition fraction columns (aliased
-    top_unigram_frac / top_bigram_frac) — the ONE definition shared by
-    quality_panel and repetition_stats so the tested path and the shipped
-    path cannot drift."""
+    top_unigram_frac / top_bigram_frac) for :func:`repetition_stats`.
+    quality_panel builds the same fractions from its shared token-array
+    column; the pieces that define the semantics — :func:`top_gram_frac`
+    and :func:`word_bigrams_from_tokens` — are single definitions used
+    by BOTH paths, so they cannot drift."""
     trimmed = F.trim(F.col(text_col))
     uni = F.filter(tokens(trimmed), lambda t: F.length(t) > 0)
     return [
@@ -323,7 +361,7 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         F.length(text).alias("__n"),
         F.length(F.trim(text)).alias("__trimlen"),
         tokens(text).alias("__toks"),
-        F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", "")).alias("__alnum"),
+        _alnum_count(text).alias("__alnum"),
         *[script_count(text, s).alias(f"__sc_{s}") for s in SCRIPT_RANGES],
         *[
             marker_count(text, ws).alias(f"__mc_{lang}")
@@ -332,7 +370,6 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     )
     # layer 2: token-array derivatives (reference __toks several times)
     tk = F.col("__toks")
-    n_tok = F.size(tk)
     s2 = s1.select(
         F.col(id_col),
         "__n",
@@ -340,25 +377,18 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         "__alnum",
         *[f"__sc_{s}" for s in SCRIPT_RANGES],
         *[f"__mc_{lang}" for lang in LANG_MARKERS],
-        n_tok.alias("__ntok"),
-        F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS))).alias("__nstop"),
-        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias(
-            "__toklen"
-        ),
+        F.size(tk).alias("__ntok"),
+        _stop_count(tk).alias("__nstop"),
+        _token_len_sum(tk).alias("__toklen"),
         top_gram_frac(F.filter(tk, lambda t: F.length(t) > 0)).alias("__uni_frac"),
-        top_gram_frac(
-            F.zip_with(
-                F.slice(tk, 1, F.greatest(n_tok - 1, F.lit(0))),
-                F.slice(tk, 2, F.greatest(n_tok - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("__bi_frac"),
+        top_gram_frac(word_bigrams_from_tokens(tk)).alias("__bi_frac"),
     )
-    # layer 3: final columns — arithmetic over the shared primitives
+    # layer 3: final columns via the SAME count-parameterized helpers the
+    # standalone operators use — the definitions cannot drift
     n = F.col("__n")
     ntok = F.col("__ntok")
-    stop_ratio = F.round(F.col("__nstop") / F.greatest(ntok, F.lit(1)), 6)
-    alpha = F.round(F.col("__alnum") / F.greatest(n, F.lit(1)), 6)
+    stop_ratio = _stop_ratio_from(F.col("__nstop"), ntok)
+    alpha = _alpha_ratio_from(F.col("__alnum"), n)
     return s2.select(
         F.col(id_col),
         F.when(F.col("__trimlen") == 0, F.lit(0))
@@ -366,16 +396,9 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         .cast("long")
         .alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
-        F.round(F.col("__toklen") / F.greatest(ntok, F.lit(1)), 6).alias(
-            "mean_token_len"
-        ),
+        _mean_token_len_from(F.col("__toklen"), ntok).alias("mean_token_len"),
         alpha.alias("alpha_ratio"),
-        F.round(
-            0.4 * F.least(n / F.lit(500.0), F.lit(1.0))
-            + 0.3 * (1.0 - stop_ratio)
-            + 0.3 * alpha,
-            6,
-        ).alias("quality"),
+        _quality_from(n, stop_ratio, alpha).alias("quality"),
         _lang_from_counts(
             {s: F.col(f"__sc_{s}") for s in SCRIPT_RANGES},
             {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},

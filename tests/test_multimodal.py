@@ -529,3 +529,53 @@ def test_png_paletted_guards():
     stripped = data.replace(b"PLTE", b"plTe")  # unknown chunk: skipped
     with pytest.raises(ValueError):
         decode_png(stripped)
+
+
+def test_decompression_bombs_degrade_without_allocation():
+    # review finding: a crafted header must be rejected BEFORE any
+    # header-sized allocation, and a 1000:1 zlib/LZW stream must never
+    # inflate beyond the declared image size (a worker OOM is not
+    # recoverable by _decode's per-row except)
+    import time
+
+    from manga_ocr_spark.operators.multimodal import _decode
+
+    # PNG declaring 60000x60000 (3.6 G pixels) with a tiny zlib bomb
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 KB compressed
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    fmt, _, _, _ = _decode(png)
+    assert fmt == "png" and time.time() - t0 < 2.0  # stub, no giant inflate
+
+    # PNG with sane dims but IDAT inflating far beyond the declared size
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr2)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    assert _decode(png2)[0] == "png" and time.time() - t0 < 2.0
+
+    # GIF declaring 60000x60000 rejected before LZW expansion
+    giant = bytearray(encode_gif(np.zeros((4, 4), dtype=np.int64), [(9, 9, 9), (0, 0, 0)]))
+    at = giant.find(b"\x2c") + 5
+    giant[at : at + 4] = (60000).to_bytes(2, "little") * 2
+    t0 = time.time()
+    assert _decode(bytes(giant))[0] == "gif" and time.time() - t0 < 2.0
+
+    # GIF LZW repeat-bomb: small stream, huge expansion — output capped
+    # at the declared (sane) w*h so decode still succeeds cheaply
+    from manga_ocr_spark.operators.multimodal import _gif_lzw_decode
+
+    comp = _lzw_compress_gif([0] * 200_000, 2)
+    t0 = time.time()
+    out = _gif_lzw_decode(comp, 2, limit=1000)
+    assert len(out) == 1000 and time.time() - t0 < 1.0
