@@ -16,7 +16,8 @@ libraries):
   Huffman entropy decode, dequant, IDCT, luma plane; validated against
   an independent encoder and the reference's real JPEG test images.
   Arithmetic coding falls to the stub tier.
-- **BMP** — uncompressed 24-bit bottom-up DIBs.
+- **BMP** — uncompressed DIBs: 24-bit BGR, 32-bit BGRx, 8-bit
+  paletted; bottom-up and top-down.
 - **GIF** — 87a/89a: LSB-first variable-width LZW, global/local color
   tables, interlace, extension skip; first image of an animation.
 - **WAV** — stdlib ``wave``: PCM frames -> per-segment RMS features.
@@ -268,9 +269,10 @@ def decode_jpeg_features(data: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, list[float]]:
-    """REAL stdlib BMP decode: uncompressed 24-bit BITMAPINFOHEADER
-    bottom-up DIBs (the overwhelmingly common variant). Same feature
-    contract as decode_png: 8 horizontal mean-luma bands."""
+    """REAL stdlib BMP decode: uncompressed BITMAPINFOHEADER DIBs at
+    24-bit BGR, 32-bit BGRx, and 8-bit paletted, bottom-up AND top-down
+    (negative height). Same feature contract as decode_png: 8 horizontal
+    mean-luma bands."""
     import struct
 
     if data[:2] != b"BM" or len(data) < 54:
@@ -278,17 +280,35 @@ def decode_bmp(data: bytes) -> tuple[int, int, list[float]]:
     offset = struct.unpack("<I", data[10:14])[0]
     header_size, w, h = struct.unpack("<Iii", data[14:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
-    compression = struct.unpack("<I", data[30:34])[0]
-    if header_size < 40 or bpp != 24 or compression != 0 or h <= 0 or w <= 0:
+    compression, _isz, _xp, _yp, clr_used = struct.unpack("<IIiiI", data[30:50])
+    topdown = h < 0
+    h = abs(h)
+    if header_size < 40 or bpp not in (8, 24, 32) or compression != 0:
         raise ValueError("unsupported BMP variant")
-    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError("BMP dimensions out of bounds")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
     if len(data) < offset + stride * h:
         raise ValueError("truncated BMP")
     rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset).reshape(
         h, stride
-    )[:, : w * 3]
-    px = rows.reshape(h, w, 3)[::-1]  # bottom-up -> top-down
-    luma = px.astype(np.float64).mean(axis=2)
+    )[:, : w * nch]
+    px = rows.reshape(h, w, nch)
+    if not topdown:
+        px = px[::-1]  # bottom-up -> top-down
+    if bpp == 8:
+        ncolors = clr_used or 256
+        pal_off = 14 + header_size
+        if len(data) < pal_off + ncolors * 4:
+            raise ValueError("truncated BMP palette")
+        pal = np.frombuffer(data, np.uint8, ncolors * 4, pal_off).reshape(ncolors, 4)
+        idx = px[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= ncolors:
+            raise ValueError("BMP palette index out of range")
+        luma = pal[idx][:, :, :3].astype(np.float64).mean(axis=2)  # BGRx: drop pad
+    else:
+        luma = px[:, :, :3].astype(np.float64).mean(axis=2)  # BGR(x): drop pad byte
     bands = np.array_split(luma, FEATURE_DIM, axis=0)
     feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
     return int(w), int(h), feat

@@ -579,3 +579,75 @@ def test_decompression_bombs_degrade_without_allocation():
     t0 = time.time()
     out = _gif_lzw_decode(comp, 2, limit=1000)
     assert len(out) == 1000 and time.time() - t0 < 1.0
+
+
+def encode_bmp_variant(px: np.ndarray, bpp: int = 24, topdown: bool = False,
+                       palette: list[tuple[int, int, int]] | None = None,
+                       idx: np.ndarray | None = None) -> bytes:
+    """Independent BMP encoder for the widened variants: 24-bit BGR,
+    32-bit BGRx, 8-bit paletted; bottom-up or top-down."""
+    if bpp == 8:
+        h, w = idx.shape
+    else:
+        h, w, _ = px.shape
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    body = bytearray()
+    ys = range(h) if topdown else range(h - 1, -1, -1)
+    for y in ys:
+        if bpp == 8:
+            row = bytes(int(v) for v in idx[y])
+        elif bpp == 24:
+            row = px[y, :, ::-1].astype(np.uint8).tobytes()  # RGB->BGR
+        else:
+            bgrx = np.zeros((w, 4), dtype=np.uint8)
+            bgrx[:, :3] = px[y, :, ::-1]
+            bgrx[:, 3] = 0xAA  # pad byte must be ignored
+            row = bgrx.tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    pal = b""
+    if bpp == 8:
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    off = 54 + len(pal)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<Iii", 40, w, -h if topdown else h)
+        + struct.pack("<HH", 1, bpp)
+        + struct.pack("<IIiiII", 0, len(body), 2835, 2835,
+                      len(palette) if bpp == 8 else 0, 0)
+    )
+    return header + pal + bytes(body)
+
+
+def test_bmp_variants_decode():
+    from manga_ocr_spark.operators.multimodal import decode_bmp
+
+    px = _gradient_image(9, 11)
+    luma = px.astype(np.float64).mean(axis=2)
+    want = [
+        round(float(b.mean()) / 255.0, 6)
+        for b in np.array_split(luma, FEATURE_DIM, axis=0)
+    ]
+    # top-down 24-bit equals bottom-up
+    assert decode_bmp(encode_bmp_variant(px, 24, topdown=True)) == (9, 11, want)
+    # 32-bit BGRx with nonzero pad byte
+    assert decode_bmp(encode_bmp_variant(px, 32)) == (9, 11, want)
+    # 8-bit paletted
+    pal = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 16, size=(11, 9))
+    pluma = np.array(pal, dtype=np.float64)[idx].mean(axis=2)
+    pwant = [
+        round(float(b.mean()) / 255.0, 6)
+        for b in np.array_split(pluma, FEATURE_DIM, axis=0)
+    ]
+    assert decode_bmp(encode_bmp_variant(None, 8, palette=pal, idx=idx)) == (9, 11, pwant)
+    # oversized header dims rejected
+    import pytest
+
+    big = bytearray(encode_bmp_variant(px, 24))
+    big[18:22] = struct.pack("<i", 60000)
+    big[22:26] = struct.pack("<i", 60000)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(big))
