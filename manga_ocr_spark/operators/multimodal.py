@@ -18,6 +18,11 @@ libraries):
   Arithmetic coding falls to the stub tier.
 - **BMP** — uncompressed DIBs: 24-bit BGR, 32-bit BGRx, 8-bit
   paletted; bottom-up and top-down.
+- **TIFF** — baseline 6.0: II/MM, strips, 8-bit gray (both
+  photometrics) / RGB(A) / palette-color; compression none, PackBits,
+  and LZW (REUSING the PDF LZWDecode implementation — TIFF's
+  early-change MSB-first variant is exactly what ISO 32000 mandates);
+  horizontal-differencing predictor.
 - **GIF** — 87a/89a: LSB-first variable-width LZW, global/local color
   tables, interlace, extension skip; first image of an animation.
 - **WAV** — stdlib ``wave``: PCM frames -> per-segment RMS features.
@@ -316,7 +321,9 @@ def decode_bmp(data: bytes) -> tuple[int, int, list[float]]:
 
 def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib WAV decode via ``wave``: (n_channels, n_frames,
-    8 per-time-segment RMS features normalized to [0, 1])."""
+    8 per-time-segment RMS features normalized to [0, 1]). 16-bit
+    signed and 8-bit unsigned (centered at 128) PCM, any channel count
+    (RMS over interleaved samples)."""
     import io
     import wave
 
@@ -327,9 +334,15 @@ def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
             wf.getframerate(),
             wf.getnframes(),
         )
-        if sampwidth != 2:
-            raise ValueError("only 16-bit PCM supported")
-        samples = np.frombuffer(wf.readframes(nframes), dtype="<i2").astype(np.float64)
+        if sampwidth == 2:
+            samples = np.frombuffer(wf.readframes(nframes), dtype="<i2").astype(np.float64)
+        elif sampwidth == 1:
+            # 8-bit PCM is unsigned, zero at 128; rescale to the 16-bit
+            # range so the RMS normalization below is width-independent
+            raw8 = np.frombuffer(wf.readframes(nframes), dtype=np.uint8).astype(np.float64)
+            samples = (raw8 - 128.0) * 256.0
+        else:
+            raise ValueError("only 8/16-bit PCM supported")
     if samples.size == 0:
         return nch, 0, [0.0] * FEATURE_DIM
     segs = np.array_split(samples, FEATURE_DIM)
@@ -569,6 +582,133 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[float]]:
     return w, h, feat
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits RLE (TIFF 6.0 §9), output capped at ``expected``."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                break
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL baseline TIFF 6.0 decode: II/MM byte order, first IFD, strip
+    organization; 8-bit grayscale (WhiteIsZero/BlackIsZero), 8-bit RGB(A)
+    and 8-bit palette-color; compression none (1), LZW (5 — REUSES the
+    early-change MSB-first LZW already built for PDF LZWDecode in
+    extraction/pdf.py, the exact same variant) and PackBits (32773);
+    horizontal-differencing predictor 2. Same 8-band luma feature
+    contract; raises on unsupported variants (caller degrades)."""
+    import struct
+
+    from manga_ocr_spark.extraction.pdf import _lzw_decode
+
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF")
+    (n_tags,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    _SZ = {1: 1, 3: 2, 4: 4}
+    for i in range(n_tags):
+        off = ifd_off + 2 + i * 12
+        if off + 12 > len(data):
+            raise ValueError("truncated IFD")
+        tag, typ, count = struct.unpack(e + "HHI", data[off : off + 8])
+        if typ not in _SZ:
+            continue
+        total = _SZ[typ] * count
+        voff = off + 8 if total <= 4 else struct.unpack(e + "I", data[off + 8 : off + 12])[0]
+        if voff + total > len(data):
+            continue
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + fmt * count, data[voff : voff + total]))
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError("TIFF dimensions out of bounds")
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    predictor = one(317, 1)
+    if any(b != 8 for b in bits) or compression not in (1, 5, 32773):
+        raise ValueError("unsupported TIFF variant")
+    if photometric not in (0, 1, 2, 3) or predictor not in (1, 2):
+        raise ValueError("unsupported TIFF variant")
+    if photometric == 2 and spp < 3:
+        raise ValueError("RGB TIFF with <3 samples")
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    stride = w * spp
+    rows = []
+    remaining = h
+    for soff, scnt in zip(offsets, counts):
+        if soff + scnt > len(data):
+            raise ValueError("strip out of bounds")
+        nrows = min(rows_per_strip, remaining)
+        remaining -= nrows
+        expected = nrows * stride
+        raw = data[soff : soff + scnt]
+        if compression == 5:
+            raw = _lzw_decode(raw)[:expected]
+        elif compression == 32773:
+            raw = _packbits_decode(raw, expected)
+        if len(raw) < expected:
+            raise ValueError("short TIFF strip")
+        strip = np.frombuffer(raw, np.uint8, expected).reshape(nrows, w, spp)
+        if predictor == 2:
+            strip = np.cumsum(strip.astype(np.int64), axis=1).astype(np.uint8)
+        rows.append(strip)
+    px = np.concatenate(rows, axis=0)
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) % 3:
+            raise ValueError("palette TIFF without ColorMap")
+        ncol = len(cmap) // 3
+        # ColorMap is 16-bit per channel, all reds then greens then blues
+        pal = (np.array(cmap, dtype=np.float64).reshape(3, ncol).T) / 257.0
+        idx = px[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("TIFF palette index out of range")
+        luma = pal[idx].mean(axis=2)
+    elif photometric == 2:
+        luma = px[:, :, :3].astype(np.float64).mean(axis=2)  # drop alpha
+    else:
+        luma = px[:, :, 0].astype(np.float64)
+        if photometric == 0:  # WhiteIsZero
+            luma = 255.0 - luma
+    bands = np.array_split(luma, FEATURE_DIM, axis=0)
+    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    return int(w), int(h), feat
+
+
 def _sniff_format(payload: bytes) -> str:
     if payload[:4] == b"\x89PNG":
         return "png"
@@ -578,6 +718,8 @@ def _sniff_format(payload: bytes) -> str:
         return "bmp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -611,6 +753,7 @@ _REAL_DECODERS = {
     "jpeg": lambda p: decode_jpeg_features(p),
     "bmp": lambda p: decode_bmp(p),
     "gif": lambda p: decode_gif(p),
+    "tiff": lambda p: decode_tiff(p),
     "wav": lambda p: decode_wav(p),  # returns (n_channels, n_frames, feat)
     "avi": lambda p: decode_avi_mjpeg(p),
 }

@@ -651,3 +651,193 @@ def test_bmp_variants_decode():
     big[22:26] = struct.pack("<i", 60000)
     with pytest.raises(ValueError):
         decode_bmp(bytes(big))
+
+
+# -- independent TIFF encoder ------------------------------------------------
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Independent PackBits compressor: literal+repeat runs."""
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        # find a repeat run
+        j = i
+        while j + 1 < len(row) and row[j + 1] == row[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 identical bytes
+            out += bytes([257 - (j - i + 1), row[i]])
+            i = j + 1
+            continue
+        # literal run until the next repeat
+        j = i
+        while (
+            j + 1 < len(row)
+            and not (j + 2 < len(row) and row[j + 1] == row[j + 2])
+            and j - i < 127
+        ):
+            j += 1
+        out += bytes([j - i]) + row[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def encode_tiff(
+    px: np.ndarray, photometric: int, compression: int = 1, endian: str = "<",
+    rows_per_strip: int | None = None, colormap: list[tuple[int, int, int]] | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """Independent minimal TIFF writer: strips, II/MM, none/PackBits/LZW
+    (reusing the independent PDF-variant LZW encoder), predictor 2."""
+    from tests.test_pdf import _lzw_encode
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = px[y0 : y0 + rps]
+        if predictor == 2:
+            d = chunk.astype(np.int64)
+            d = np.concatenate([d[:, :1], (d[:, 1:] - d[:, :-1]) % 256], axis=1)
+            chunk = d.astype(np.uint8)
+        raw = chunk.tobytes()
+        if compression == 32773:
+            raw = b"".join(_packbits_encode(chunk[r].tobytes()) for r in range(chunk.shape[0]))
+        elif compression == 5:
+            raw = _lzw_encode(raw)
+        strips.append(raw)
+
+    hdr = (b"II*\x00" if endian == "<" else b"MM\x00*")
+    entries = []  # (tag, typ, count, value-or-bytes)
+    def tag(t, typ, vals):
+        entries.append((t, typ, vals))
+
+    tag(256, 4, [w]); tag(257, 4, [h])
+    tag(258, 3, [8] * spp)
+    tag(259, 3, [compression])
+    tag(262, 3, [photometric])
+    tag(277, 3, [spp])
+    tag(278, 4, [rps])
+    if predictor == 2:
+        tag(317, 3, [predictor])
+    if colormap is not None:
+        flat = [c[0] for c in colormap] + [c[1] for c in colormap] + [c[2] for c in colormap]
+        tag(320, 3, [v * 257 for v in flat])
+    # layout: header(8) + IFD + ext values + strip data
+    tag(273, 4, [0] * len(strips))  # patched below
+    tag(279, 4, [len(s) for s in strips])
+    entries.sort()
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    ifd_off = 8
+    ifd_len = 2 + len(entries) * 12 + 4
+    ext = bytearray()
+    ext_base = ifd_off + ifd_len
+    packed = []
+    for t, typ, vals in entries:
+        total = sizes[typ] * len(vals)
+        if total <= 4:
+            packed.append((t, typ, vals, None))
+        else:
+            packed.append((t, typ, vals, ext_base + len(ext)))
+            ext += struct.pack(endian + fmts[typ] * len(vals), *vals)
+    data_base = ext_base + len(ext)
+    # patch strip offsets
+    offs = []
+    pos = data_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    out = bytearray(hdr + struct.pack(endian + "I", ifd_off))
+    out += struct.pack(endian + "H", len(entries))
+    for t, typ, vals, voff in packed:
+        if t == 273:
+            vals = offs
+        total = sizes[typ] * len(vals)
+        out += struct.pack(endian + "HHI", t, typ, len(vals))
+        if total <= 4:
+            out += struct.pack(endian + fmts[typ] * len(vals), *vals).ljust(4, b"\x00")
+        else:
+            if t == 273 and voff is not None:
+                ext_pos = voff - ext_base
+                ext[ext_pos : ext_pos + total] = struct.pack(
+                    endian + fmts[typ] * len(vals), *vals
+                )
+            out += struct.pack(endian + "I", voff)
+    out += struct.pack(endian + "I", 0)  # next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _tiff_want(luma: np.ndarray) -> list[float]:
+    return [
+        round(float(b.mean()) / 255.0, 6)
+        for b in np.array_split(luma, FEATURE_DIM, axis=0)
+    ]
+
+
+def test_tiff_variants_decode():
+    from manga_ocr_spark.operators.multimodal import decode_tiff
+
+    rgb = _gradient_image(14, 9)
+    rgb_luma = rgb.astype(np.float64).mean(axis=2)
+    gray = (rgb_luma.round().astype(np.uint8))
+    for endian in ("<", ">"):
+        for comp in (1, 32773, 5):
+            # RGB, multi-strip
+            got = decode_tiff(encode_tiff(rgb, 2, comp, endian, rows_per_strip=4))
+            assert got == (14, 9, _tiff_want(rgb_luma)), (endian, comp)
+            # 8-bit gray BlackIsZero
+            got = decode_tiff(encode_tiff(gray, 1, comp, endian))
+            assert got == (14, 9, _tiff_want(gray.astype(np.float64))), (endian, comp)
+    # WhiteIsZero inverts
+    got = decode_tiff(encode_tiff(gray, 0))
+    assert got == (14, 9, _tiff_want(255.0 - gray.astype(np.float64)))
+    # LZW + horizontal predictor
+    got = decode_tiff(encode_tiff(rgb, 2, 5, predictor=2))
+    assert got == (14, 9, _tiff_want(rgb_luma))
+    # palette-color
+    pal = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    rng = np.random.RandomState(8)
+    idx = rng.randint(0, 16, size=(9, 14)).astype(np.uint8)
+    pluma = np.array(pal, dtype=np.float64)[idx].mean(axis=2)
+    got = decode_tiff(encode_tiff(idx, 3, 32773, colormap=pal))
+    assert got == (14, 9, _tiff_want(pluma))
+
+
+def test_tiff_guards_and_sniff():
+    import pytest
+
+    from manga_ocr_spark.operators.multimodal import _decode, decode_tiff
+
+    gray = np.full((5, 5), 7, dtype=np.uint8)
+    data = encode_tiff(gray, 1)
+    fmt, w, h, feat = _decode(data)
+    assert fmt == "tiff" and (w, h) == (5, 5)
+    with pytest.raises(ValueError):
+        decode_tiff(b"II*\x00" + b"\xff" * 20)
+    big = bytearray(data)
+    # patch ImageWidth value to a bomb size (tag 256, LONG, inline)
+    at = data.find(struct.pack("<HHI", 256, 4, 1))
+    big[at + 8 : at + 12] = struct.pack("<I", 2_000_000_000)
+    assert _decode(bytes(big))[0] == "tiff"  # degrades, no allocation
+
+
+def test_wav_8bit_pcm_decode():
+    # 8-bit PCM is unsigned, zero at 128; constant amplitude a maps to
+    # RMS a*256/32768 after the width-independent rescale
+    from manga_ocr_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([128 + 32] * 400))
+    nch, nframes, feat = decode_wav(buf.getvalue())
+    assert (nch, nframes) == (1, 400)
+    assert all(abs(f - round(32 * 256 / 32768.0, 6)) < 1e-6 for f in feat)
