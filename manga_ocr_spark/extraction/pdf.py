@@ -313,11 +313,17 @@ def _ascii85(data: bytes) -> bytes:
     return base64.a85decode(data)
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, limit: int | None = None) -> bytes:
     """PDF LZWDecode (ISO 32000 §7.4.4 — the TIFF variant): variable-width
     codes 9->12 bits MSB-first, clear code 256, EOD 257, code width grows
-    ONE CODE EARLY (the "early change" the spec mandates, EarlyChange=1)."""
+    ONE CODE EARLY (the "early change" the spec mandates, EarlyChange=1).
+
+    ``limit``: optional output cap BELOW the blanket _INFLATE_CAP — a
+    caller that knows the exact plaintext size (a TIFF strip) passes it
+    so a crafted high-ratio stream stops the moment it has produced all
+    the caller can use, not at 256 MB."""
     CLEAR, EOD = 256, 257
+    cap = _INFLATE_CAP if limit is None else min(limit, _INFLATE_CAP)
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -344,8 +350,8 @@ def _lzw_decode(data: bytes) -> bytes:
             else:
                 return bytes(out)  # corrupt: emit what we have
             out += entry
-            if len(out) > _INFLATE_CAP:
-                return bytes(out)  # expansion bomb: stop here
+            if len(out) >= cap:  # expansion bomb / caller's known size: stop
+                return bytes(out[:cap])
             if prev is not None:
                 table.append(prev + entry[:1])
             prev = entry

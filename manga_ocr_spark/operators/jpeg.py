@@ -29,6 +29,12 @@ import struct
 
 import numpy as np
 
+# header-declared-dimension cap, matching operators/multimodal.py's
+# _MAX_PIXELS: the decode allocates plane/coefficient arrays sized by
+# the SOF header, so a crafted header must be rejected before any
+# buffer exists
+MAX_PIXELS = 25_000_000
+
 # zigzag scan order: index i of the scan -> (row, col) flattened offset
 _ZIGZAG = np.array(
     [
@@ -196,6 +202,13 @@ def decode_jpeg_luma(data: bytes) -> tuple[int, int, np.ndarray]:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+                # header-declared dims size the plane/coefficient
+                # allocations below — reject crafted headers BEFORE any
+                # buffer exists (same cap as operators/multimodal.py;
+                # progressive EOB runs would let a few KB of scan data
+                # commit every block of a declared-huge image)
+                raise ValueError("JPEG dimensions out of bounds")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]

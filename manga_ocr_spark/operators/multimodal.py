@@ -79,6 +79,15 @@ _MAX_PIXELS = 25_000_000
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _luma_features(luma) -> list[float]:
+    """The shared feature epilogue of every image decoder: mean luminance
+    of FEATURE_DIM horizontal bands, normalized to [0, 1], 6-decimal
+    rounded (the oracle value-hash contract). ONE definition — banding or
+    rounding changes cannot drift between formats."""
+    bands = np.array_split(luma, FEATURE_DIM, axis=0)
+    return [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+
+
 def _inflate_exact(idat: bytes, expected: int) -> bytes:
     """zlib-inflate with the repo's decompression-bomb convention
     (cf. extraction/pdf.py / sources/warc.py): the caller KNOWS the
@@ -89,7 +98,11 @@ def _inflate_exact(idat: bytes, expected: int) -> bytes:
 
     d = zlib.decompressobj()
     raw = d.decompress(idat, expected + 1)
-    if len(raw) != expected:
+    # d.eof preserves the stream-completeness + adler32 verification the
+    # uncapped zlib.decompress performed: a truncated/checksum-corrupt
+    # stream that happens to yield `expected` bytes must still degrade
+    # to the stub tier, not masquerade as a real decode
+    if len(raw) != expected or not d.eof:
         raise ValueError("IDAT size mismatch")
     return raw
 
@@ -254,8 +267,7 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     else:
         color_ch = {0: 1, 2: 3, 4: 1, 6: 3}[color]  # drop alpha from stats
         luma = px[:, :, :color_ch].astype(np.float64).mean(axis=2)  # (h, w)
-    bands = np.array_split(luma, FEATURE_DIM, axis=0)
-    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    feat = _luma_features(luma)
     return int(w), int(h), feat
 
 
@@ -268,8 +280,7 @@ def decode_jpeg_features(data: bytes) -> tuple[int, int, list[float]]:
 
     w, h, y = decode_jpeg_luma(data)
     luma = y.astype(np.float64)
-    bands = np.array_split(luma, FEATURE_DIM, axis=0)
-    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    feat = _luma_features(luma)
     return w, h, feat
 
 
@@ -314,8 +325,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, list[float]]:
         luma = pal[idx][:, :, :3].astype(np.float64).mean(axis=2)  # BGRx: drop pad
     else:
         luma = px[:, :, :3].astype(np.float64).mean(axis=2)  # BGR(x): drop pad byte
-    bands = np.array_split(luma, FEATURE_DIM, axis=0)
-    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    feat = _luma_features(luma)
     return int(w), int(h), feat
 
 
@@ -362,7 +372,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, limit: int | None = None) -
 
     ``limit`` caps the OUTPUT length (LZW is expansive — a KB-size
     crafted stream can otherwise blow up to GBs; the caller knows w*h,
-    the only amount it can use)."""
+    the only amount it can use). Deliberate contract consequence: once
+    ``limit`` pixels are decoded the REST of the stream is not read, so
+    garbage after a complete image is accepted — the same behavior as
+    real-world decoders (giflib stops at the last pixel); corruption
+    BEFORE the image completes still raises (test-pinned both ways)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -388,6 +402,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, limit: int | None = None) -
             if code == eoi:
                 return out
             if prev is None:
+                if code not in table:
+                    raise ValueError("corrupt GIF LZW code")
                 entry = table[code]  # first code after clear must be literal
             elif code in table:
                 entry = table[code]
@@ -577,8 +593,7 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("no MJPEG frame chunk in AVI")
     w, h, y = decode_jpeg_luma(frame)
     luma = y.astype(np.float64)
-    bands = np.array_split(luma, FEATURE_DIM, axis=0)
-    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    feat = _luma_features(luma)
     return w, h, feat
 
 
@@ -662,6 +677,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, list[float]]:
     if photometric == 2 and spp < 3:
         raise ValueError("RGB TIFF with <3 samples")
     rows_per_strip = one(278, h)
+    if rows_per_strip <= 0:
+        raise ValueError("bad RowsPerStrip")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -670,6 +687,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, list[float]]:
     rows = []
     remaining = h
     for soff, scnt in zip(offsets, counts):
+        if remaining <= 0:
+            break  # surplus strip entries: never decode work we can't use
         if soff + scnt > len(data):
             raise ValueError("strip out of bounds")
         nrows = min(rows_per_strip, remaining)
@@ -677,7 +696,10 @@ def decode_tiff(data: bytes) -> tuple[int, int, list[float]]:
         expected = nrows * stride
         raw = data[soff : soff + scnt]
         if compression == 5:
-            raw = _lzw_decode(raw)[:expected]
+            # limit= caps the LZW expansion at the strip's exact size —
+            # a crafted high-ratio stream stops immediately instead of
+            # decoding to the blanket 256 MB cap per strip entry
+            raw = _lzw_decode(raw, limit=expected)
         elif compression == 32773:
             raw = _packbits_decode(raw, expected)
         if len(raw) < expected:
@@ -686,6 +708,11 @@ def decode_tiff(data: bytes) -> tuple[int, int, list[float]]:
         if predictor == 2:
             strip = np.cumsum(strip.astype(np.int64), axis=1).astype(np.uint8)
         rows.append(strip)
+    if remaining > 0:
+        # every other decoder raises on truncation; features from a
+        # partial image while reporting full height would be silently
+        # wrong
+        raise ValueError("TIFF strips do not cover image height")
     px = np.concatenate(rows, axis=0)
     if photometric == 3:
         cmap = tags.get(320)
@@ -704,8 +731,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, list[float]]:
         luma = px[:, :, 0].astype(np.float64)
         if photometric == 0:  # WhiteIsZero
             luma = 255.0 - luma
-    bands = np.array_split(luma, FEATURE_DIM, axis=0)
-    feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
+    feat = _luma_features(luma)
     return int(w), int(h), feat
 
 
