@@ -25,7 +25,10 @@ libraries):
   horizontal-differencing predictor.
 - **GIF** — 87a/89a: LSB-first variable-width LZW, global/local color
   tables, interlace, extension skip; first image of an animation.
-- **WAV** — stdlib ``wave``: PCM frames -> per-segment RMS features.
+- **ICO** — favicon directory walk, largest image wins (the browser
+  rule); entries decode through decode_png or decode_bmp (classic
+  doubled-height DIB form).
+- **WAV** — stdlib ``wave``: 8/16-bit PCM -> per-segment RMS features.
 - **AVI (MJPEG)** — RIFF walk to the ``movi`` list, first video chunk
   decoded with the repo's own T.81 JPEG decoder.
 - **everything else** — deterministic byte-derived stub (clearly
@@ -597,6 +600,59 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[float]]:
     return w, h, feat
 
 
+def decode_ico(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL ICO (favicon) decode: directory walk, largest image selected
+    (the browser rule), frame decoded by REUSING decode_png (PNG-compressed
+    entries, the modern form) or decode_bmp (classic DIB entries — the ICO
+    payload is a headerless DIB with DOUBLED biHeight covering the XOR
+    pixels + AND mask; a synthetic BM header and a halved height turn it
+    into exactly what decode_bmp already parses, and the trailing AND
+    mask lies beyond the pixel rows it reads)."""
+    import struct
+
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack("<H", data[4:6])
+    if count == 0 or 6 + 16 * count > len(data):
+        raise ValueError("empty/truncated ICO directory")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        bw, bh = data[off], data[off + 1]
+        bw, bh = bw or 256, bh or 256  # 0 means 256 per the format
+        size, img_off = struct.unpack("<II", data[off + 8 : off + 16])
+        if img_off + size > len(data) or size < 16:
+            continue
+        if best is None or bw * bh > best[0]:
+            best = (bw * bh, img_off, size)
+    if best is None:
+        raise ValueError("no decodable ICO entry")
+    _, img_off, size = best
+    frame = data[img_off : img_off + size]
+    if frame[:8] == _PNG_MAGIC:
+        return decode_png(frame)
+    # classic DIB entry: BITMAPINFOHEADER with doubled height
+    if len(frame) < 40:
+        raise ValueError("truncated ICO DIB")
+    header_size, w, h2 = struct.unpack("<Iii", frame[:12])
+    if header_size < 40 or h2 % 2:
+        raise ValueError("unsupported ICO DIB")
+    bpp = struct.unpack("<H", frame[14:16])[0]
+    ncolors = struct.unpack("<I", frame[32:36])[0]
+    if bpp == 8 and ncolors == 0:
+        ncolors = 256
+    pal_bytes = ncolors * 4 if bpp == 8 else 0
+    pixel_off = 14 + header_size + pal_bytes
+    patched = bytearray(frame)
+    patched[8:12] = struct.pack("<i", h2 // 2)  # un-double the height
+    bm = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + len(patched), 0, 0, pixel_off)
+        + bytes(patched)
+    )
+    return decode_bmp(bm)
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """TIFF PackBits RLE (TIFF 6.0 §9), output capped at ``expected``."""
     out = bytearray()
@@ -746,6 +802,8 @@ def _sniff_format(payload: bytes) -> str:
         return "gif"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 6:
+        return "ico"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -780,6 +838,7 @@ _REAL_DECODERS = {
     "bmp": lambda p: decode_bmp(p),
     "gif": lambda p: decode_gif(p),
     "tiff": lambda p: decode_tiff(p),
+    "ico": lambda p: decode_ico(p),
     "wav": lambda p: decode_wav(p),  # returns (n_channels, n_frames, feat)
     "avi": lambda p: decode_avi_mjpeg(p),
 }

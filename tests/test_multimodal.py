@@ -907,3 +907,53 @@ def test_review_cycle3_guards():
     with pytest.raises(ValueError):
         # code 7 is out of range right after the clear (table has 0..5)
         _gif_lzw_decode(bytes([0b00_111_100]), 2, limit=16)
+
+
+def encode_ico(frames: list[bytes], dims: list[tuple[int, int]]) -> bytes:
+    """Independent ICO writer: directory + raw frame blobs (each a PNG
+    or a headerless doubled-height DIB built by the caller)."""
+    out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", len(frames)))
+    off = 6 + 16 * len(frames)
+    for blob, (w, h) in zip(frames, dims):
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += struct.pack("<HHII", 1, 32, len(blob), off)
+        off += len(blob)
+    for blob in frames:
+        out += blob
+    return bytes(out)
+
+
+def _ico_dib(px: np.ndarray) -> bytes:
+    """Headerless 24-bit DIB with doubled height + empty AND mask."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = px[y, :, ::-1].astype(np.uint8).tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    mask_stride = ((w + 31) // 32) * 4
+    mask = b"\x00" * (mask_stride * h)
+    hdr = struct.pack("<Iii", 40, w, h * 2) + struct.pack("<HH", 1, 24)
+    hdr += struct.pack("<IIiiII", 0, len(body), 0, 0, 0, 0)
+    return hdr + bytes(body) + mask
+
+
+def test_ico_png_and_dib_entries():
+    from manga_ocr_spark.operators.multimodal import _decode, decode_ico
+
+    px_small = _gradient_image(8, 8)
+    px_big = _gradient_image(16, 10)
+    want_big = _tiff_want(px_big.astype(np.float64).mean(axis=2))
+    # PNG entries: the LARGEST frame must be chosen
+    ico = encode_ico(
+        [encode_png(px_small, [0]), encode_png(px_big, [0, 2])],
+        [(8, 8), (16, 10)],
+    )
+    assert decode_ico(ico) == (16, 10, want_big)
+    # classic DIB entry with doubled height + AND mask
+    ico2 = encode_ico([_ico_dib(px_big)], [(16, 10)])
+    assert decode_ico(ico2) == (16, 10, want_big)
+    fmt, w, h, _ = _decode(ico2)
+    assert fmt == "ico" and (w, h) == (16, 10)
+    # corrupt directory degrades
+    assert _decode(b"\x00\x00\x01\x00\xff\xff" + b"z" * 10)[0] == "ico"
