@@ -957,3 +957,54 @@ def test_ico_png_and_dib_entries():
     assert fmt == "ico" and (w, h) == (16, 10)
     # corrupt directory degrades
     assert _decode(b"\x00\x00\x01\x00\xff\xff" + b"z" * 10)[0] == "ico"
+
+
+def test_media_decode_corruption_fuzz_never_raises_and_stays_bounded():
+    # WARC/PDF-style corruption fuzz for EVERY image/audio format: random
+    # flips, truncations, splices and header patches must degrade through
+    # _decode (stub tier) — never raise, never take pathological time
+    import random
+    import time
+
+    from manga_ocr_spark.operators.multimodal import _decode
+    from tests.test_jpeg import Q_ONE, _test_image, encode_gray_jpeg
+
+    rgb = _gradient_image(12, 8)
+    gray = np.full((6, 6), 55, dtype=np.uint8)
+    idx = np.zeros((5, 5), dtype=np.int64)
+    pal = [(10, 20, 30), (200, 210, 220)]
+    jpg = encode_gray_jpeg(_test_image(), Q_ONE)
+    bases = [
+        encode_png(rgb, [0, 1, 2, 3, 4]),
+        encode_png_paletted(idx.astype(np.int64), pal, 4),
+        jpg,
+        encode_bmp(rgb),
+        encode_bmp_variant(rgb, 32),
+        encode_gif(idx, pal),
+        encode_tiff(rgb, 2, 5, predictor=2),
+        encode_tiff(gray, 1, 32773),
+        encode_ico([_ico_dib(rgb)], [(12, 8)]),
+        encode_avi_mjpeg(jpg),
+        encode_wav((np.ones(300) * 999).astype(np.int16)),
+    ]
+    rng = random.Random(20250817)
+    t_all = time.time()
+    for trial in range(220):
+        data = bytearray(bases[trial % len(bases)])
+        op = trial % 4
+        if op == 0:
+            for _ in range(rng.randint(1, 12)):
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            data = data[: rng.randrange(1, len(data))]
+        elif op == 2:
+            at = rng.randrange(len(data))
+            data = data[:at] + bytes(rng.randrange(256) for _ in range(24)) + data[at:]
+        else:
+            a, b = sorted(rng.randrange(len(data)) for _ in range(2))
+            data = data[:a] + data[b:]
+        t0 = time.time()
+        fmt, w, h, feat = _decode(bytes(data))  # must not raise
+        assert isinstance(fmt, str) and len(feat) == FEATURE_DIM
+        assert time.time() - t0 < 5.0, (trial, fmt)
+    assert time.time() - t_all < 120.0

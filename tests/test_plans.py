@@ -198,3 +198,18 @@ def test_debug_blocks_column_absent_from_hot_path(spark):
     assert "html" in map_line and "blocks#" in map_line
     assert map_line.count("text") == 1  # only extracted_text output, no WET input text
     assert "Exchange" not in _plan(dbg)
+
+
+def test_warc_range_sort_is_narrow(spark):
+    # sortWithinPartitions on the CDX index must stay a NARROW sort —
+    # an accidental global orderBy would shuffle the whole index
+    from manga_ocr_spark.sources.warc import pages_from_warc_ranges
+
+    idx = spark.createDataFrame(
+        [("f.warc.gz", 0, 100), ("f.warc.gz", 100, 100)],
+        "path string, offset long, length long",
+    ).repartition(2)
+    plan = _plan(pages_from_warc_ranges(spark, idx))
+    assert "rangepartitioning" not in plan.lower()  # no global sort shuffle
+    assert plan.count("Exchange") == 1  # only the test's own repartition
+    assert "Sort" in plan  # the per-partition sort is present
