@@ -601,13 +601,17 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_ico(data: bytes) -> tuple[int, int, list[float]]:
-    """REAL ICO (favicon) decode: directory walk, largest image selected
-    (the browser rule), frame decoded by REUSING decode_png (PNG-compressed
-    entries, the modern form) or decode_bmp (classic DIB entries — the ICO
-    payload is a headerless DIB with DOUBLED biHeight covering the XOR
-    pixels + AND mask; a synthetic BM header and a halved height turn it
-    into exactly what decode_bmp already parses, and the trailing AND
-    mask lies beyond the pixel rows it reads)."""
+    """REAL ICO (favicon) decode: directory walk, entries tried LARGEST
+    FIRST with fallback to the next entry on decode failure (the full
+    browser rule — real favicons routinely bundle a legacy 4-bit entry
+    alongside decodable ones, and the file must not stub out because the
+    biggest entry is the legacy one). Each frame decodes by REUSING
+    decode_png (PNG-compressed entries, the modern form) or decode_bmp
+    (classic DIB entries — the ICO payload is a headerless DIB with
+    DOUBLED biHeight covering the XOR pixels + AND mask; a synthetic BM
+    header and a halved height turn it into exactly what decode_bmp
+    already parses, and the trailing AND mask lies beyond the pixel rows
+    it reads)."""
     import struct
 
     if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
@@ -615,7 +619,7 @@ def decode_ico(data: bytes) -> tuple[int, int, list[float]]:
     (count,) = struct.unpack("<H", data[4:6])
     if count == 0 or 6 + 16 * count > len(data):
         raise ValueError("empty/truncated ICO directory")
-    best = None
+    entries = []
     for i in range(count):
         off = 6 + 16 * i
         bw, bh = data[off], data[off + 1]
@@ -623,24 +627,36 @@ def decode_ico(data: bytes) -> tuple[int, int, list[float]]:
         size, img_off = struct.unpack("<II", data[off + 8 : off + 16])
         if img_off + size > len(data) or size < 16:
             continue
-        if best is None or bw * bh > best[0]:
-            best = (bw * bh, img_off, size)
-    if best is None:
-        raise ValueError("no decodable ICO entry")
-    _, img_off, size = best
-    frame = data[img_off : img_off + size]
+        entries.append((bw * bh, img_off, size))
+    entries.sort(reverse=True)
+    for _, img_off, size in entries:
+        try:
+            return _decode_ico_frame(data[img_off : img_off + size])
+        except ValueError:
+            continue  # try the next-largest entry, like a browser
+    raise ValueError("no decodable ICO entry")
+
+
+def _decode_ico_frame(frame: bytes) -> tuple[int, int, list[float]]:
+    import struct
+
     if frame[:8] == _PNG_MAGIC:
         return decode_png(frame)
     # classic DIB entry: BITMAPINFOHEADER with doubled height
     if len(frame) < 40:
         raise ValueError("truncated ICO DIB")
     header_size, w, h2 = struct.unpack("<Iii", frame[:12])
-    if header_size < 40 or h2 % 2:
+    if not 40 <= header_size <= 4096 or h2 % 2:
         raise ValueError("unsupported ICO DIB")
     bpp = struct.unpack("<H", frame[14:16])[0]
     ncolors = struct.unpack("<I", frame[32:36])[0]
     if bpp == 8 and ncolors == 0:
         ncolors = 256
+    if ncolors > 256:
+        # a crafted biClrUsed would push the synthetic offset past the
+        # 'BM' header's 32-bit field (struct.error, not the module's
+        # ValueError degrade contract) — reject first
+        raise ValueError("ICO palette too large")
     pal_bytes = ncolors * 4 if bpp == 8 else 0
     pixel_off = 14 + header_size + pal_bytes
     patched = bytearray(frame)

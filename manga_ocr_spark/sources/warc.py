@@ -410,8 +410,14 @@ def pages_from_warc_ranges(
                 ):
                     try:
                         buf = open_range(path, offset, length)
-                    except OSError:
-                        continue  # bad index row: skip, don't kill the task
+                    except (OSError, ValueError):
+                        # bad index row: skip, don't kill the task.
+                        # ValueError covers pyarrow's ArrowInvalid (its
+                        # MRO is ArrowInvalid -> ValueError), which
+                        # from_uri raises for malformed/unknown-scheme
+                        # URIs — an OSError-only catch let one bogus CDX
+                        # row fail the whole job
+                        continue
                     yield from warc_pages(buf)
 
         yield from _page_batches(pages(), lang)

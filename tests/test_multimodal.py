@@ -1008,3 +1008,26 @@ def test_media_decode_corruption_fuzz_never_raises_and_stays_bounded():
         assert isinstance(fmt, str) and len(feat) == FEATURE_DIM
         assert time.time() - t0 < 5.0, (trial, fmt)
     assert time.time() - t_all < 120.0
+
+
+def test_ico_falls_back_past_undecodable_largest_entry():
+    # review finding: real favicons bundle legacy 4-bit entries; when the
+    # LARGEST entry is undecodable the next one must be tried (browser
+    # rule), and crafted palette counts must raise ValueError, not
+    # struct.error
+    import pytest
+
+    from manga_ocr_spark.operators.multimodal import decode_ico
+
+    px = _gradient_image(16, 10)
+    want = _tiff_want(px.astype(np.float64).mean(axis=2))
+    # fake "4-bit" junk entry declared larger than the good PNG entry
+    junk = struct.pack("<Iii", 40, 32, 64) + struct.pack("<HH", 1, 4) + b"\x00" * 40
+    ico = encode_ico([junk, encode_png(px, [0])], [(32, 32), (16, 10)])
+    assert decode_ico(ico) == (16, 10, want)
+    # biClrUsed bomb raises the module's uniform ValueError
+    evil = bytearray(_ico_dib(px))
+    evil[14:16] = struct.pack("<H", 8)  # claim 8bpp
+    evil[32:36] = struct.pack("<I", 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        decode_ico(encode_ico([bytes(evil)], [(16, 10)]))

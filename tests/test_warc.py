@@ -197,6 +197,17 @@ def test_pages_from_warc_ranges_indexed_reads(spark, tmp_path):
     only = pages_from_warc_ranges(spark, partial, lang="en").collect()
     assert [r.url for r in only] == ["https://idx/3"] and only[0].lang == "en"
 
+    # a bogus-scheme / nonexistent-path index row must be SKIPPED, never
+    # fail the task (pyarrow raises ArrowInvalid — a ValueError, not an
+    # OSError — for URIs it cannot parse; review cycle 4 finding)
+    with_bad = spark.createDataFrame(
+        [rng(3, 4), ("bogus-scheme://host/x.warc.gz", 0, 100),
+         (str(seg / "missing.warc.gz"), 0, 100)],
+        "path string, offset long, length long",
+    )
+    survived = pages_from_warc_ranges(spark, with_bad).collect()
+    assert sorted(r.url for r in survived) == ["https://idx/3"]
+
 
 def test_corrupt_gzip_member_yields_prefix_never_raises(spark):
     # self-review finding: a bit-flipped member / trailing garbage must
