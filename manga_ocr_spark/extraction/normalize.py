@@ -41,9 +41,17 @@ _WIDTH_FOLD[0x3000] = 0x20  # IDEOGRAPHIC SPACE -> SPACE
 # 2+ run of ASCII period / KATAKANA MIDDLE DOT (U+30FB), cf. ocr.py:153.
 _DOT_RUN = re.compile("[・.]{2,}")
 
+# guard for fold_width: exactly the _WIDTH_FOLD domain. A C-speed regex
+# scan (~µs) beats dict-translate (~55 µs/block measured) on the common
+# non-ASCII blocks that contain NO foldable char (CJK prose uses U+3002
+# etc., not the full-width ASCII range); translate output is identical.
+_FOLD_RX = re.compile("[！-～　]")
+
 
 def fold_width(s: str) -> str:
     """Fold full-width ASCII forms to their half-width equivalents."""
+    if _FOLD_RX.search(s) is None:
+        return s
     return s.translate(_WIDTH_FOLD)
 
 
