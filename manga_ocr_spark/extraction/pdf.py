@@ -467,17 +467,26 @@ class _Pdf:
         """(Encrypt value, first-ID bytes) from trailer dicts and
         xref-stream dicts — only PARSED dicts, never a whole-file regex,
         which would misfire on unencrypted documents whose stream/string
-        content merely contains the bytes '/Encrypt N G R'."""
+        content merely contains the bytes '/Encrypt N G R'.
+
+        LATER entries win, mirroring the later-definitions-win rule of
+        _scan_objects: an incrementally updated document that changed its
+        encryption parameters appends a new trailer, and keying off the
+        stale first one fails the /U check and marks a readable document
+        undecryptable. Trailers are visited in file order, then
+        xref-stream dicts in scan (file) order — within each pass the
+        last dict carrying the entry is kept. ID[0] is the permanent
+        file identifier (only ID[1] changes across updates), so which
+        trailer supplies it is immaterial; it follows the same rule."""
         enc = None
         id0 = b""
         def take(d: dict) -> None:
             nonlocal enc, id0
-            if enc is None and "Encrypt" in d:
+            if "Encrypt" in d:
                 enc = d["Encrypt"]
-            if not id0:
-                arr = self.resolve(d.get("ID"))
-                if isinstance(arr, list) and arr and isinstance(arr[0], (bytes, bytearray)):
-                    id0 = bytes(arr[0])
+            arr = self.resolve(d.get("ID"))
+            if isinstance(arr, list) and arr and isinstance(arr[0], (bytes, bytearray)):
+                id0 = bytes(arr[0])
         for m in re.finditer(rb"\btrailer\b", self.data):
             try:
                 d = _Lexer(self.data, m.end()).next_token()

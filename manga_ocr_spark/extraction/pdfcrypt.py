@@ -236,7 +236,10 @@ def build(encrypt: dict, id0: bytes, resolve) -> StdDecryptor | None:
             return None
         length_bits = resolve(encrypt.get("Length", 40))
         nbytes = int(length_bits) // 8 if isinstance(length_bits, int) else 5
-        if r == 2:
+        if r == 2 or v == 1:
+            # V=1 means 40-bit RC4 by definition (ISO 32000-1 §7.6.1) —
+            # a malformed file declaring a larger /Length would derive
+            # the wrong key and needlessly fail the /U check
             nbytes = 5
         cfm = "V2"
         encrypt_metadata = resolve(encrypt.get("EncryptMetadata", True))

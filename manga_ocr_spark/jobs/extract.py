@@ -275,17 +275,28 @@ class ExtractJob:
     partition_by_day: bool = False
 
     def committed_buckets(self) -> set[int]:
+        """Buckets with an ok lineage row. ONLY a missing lineage dir maps
+        to 'nothing committed' (fresh start / first run); any other read
+        failure — permissions, corrupt footers, unreadable rows — must
+        surface, because silently answering set() here would recompute
+        and overwrite every bucket (this is the resume correctness
+        boundary)."""
+        from pyspark.errors import AnalysisException
+
         try:
-            rows = (
-                self.spark.read.parquet(f"{self.out_dir}/lineage")
-                .filter(F.col("status") == "ok")
-                .select("partition_id")
-                .distinct()
-                .collect()
-            )
-            return {int(r.partition_id.split("=", 1)[1]) for r in rows}
-        except Exception:
-            return set()
+            lineage = self.spark.read.parquet(f"{self.out_dir}/lineage")
+        except AnalysisException as e:
+            klass = e.getCondition() if hasattr(e, "getCondition") else None
+            if klass == "PATH_NOT_FOUND" or "does not exist" in str(e):
+                return set()
+            raise
+        rows = (
+            lineage.filter(F.col("status") == "ok")
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {int(r.partition_id.split("=", 1)[1]) for r in rows}
 
     def stats_scan(self, buckets: list[int]) -> DataFrame:
         """Pruned re-read of committed extracted/ partitions: partition-

@@ -632,8 +632,13 @@ def decode_ico(data: bytes) -> tuple[int, int, list[float]]:
     for _, img_off, size in entries:
         try:
             return _decode_ico_frame(data[img_off : img_off + size])
-        except ValueError:
-            continue  # try the next-largest entry, like a browser
+        except Exception:
+            # try the next-largest entry, like a browser. Broad on purpose:
+            # a malformed entry surfaces struct.error / IndexError (short
+            # slices, truncated chunk headers) as readily as ValueError,
+            # and any of them just means "this entry is undecodable" —
+            # the fallback must advance, not abort the whole icon.
+            continue
     raise ValueError("no decodable ICO entry")
 
 
@@ -657,7 +662,11 @@ def _decode_ico_frame(frame: bytes) -> tuple[int, int, list[float]]:
         # 'BM' header's 32-bit field (struct.error, not the module's
         # ValueError degrade contract) — reject first
         raise ValueError("ICO palette too large")
-    pal_bytes = ncolors * 4 if bpp == 8 else 0
+    # biClrUsed is the color-table size whenever nonzero — a 24/32-bit DIB
+    # with biClrUsed>0 legally carries an (optimization-hint) palette, and
+    # skipping it here would leave bfOffBits pointing INTO the palette so
+    # decode_bmp reads shifted pixel rows (silently wrong luma features)
+    pal_bytes = ncolors * 4
     pixel_off = 14 + header_size + pal_bytes
     patched = bytearray(frame)
     patched[8:12] = struct.pack("<i", h2 // 2)  # un-double the height

@@ -1031,3 +1031,32 @@ def test_ico_falls_back_past_undecodable_largest_entry():
     evil[32:36] = struct.pack("<I", 0xFFFFFFFF)
     with pytest.raises(ValueError):
         decode_ico(encode_ico([bytes(evil)], [(16, 10)]))
+
+
+def test_ico_falls_back_past_entry_raising_struct_error():
+    # ADVICE r4: a malformed largest entry can raise struct.error or
+    # IndexError (not just ValueError) — e.g. a PNG entry truncated inside
+    # its IHDR hits struct.unpack on a short slice. The browser-style
+    # fallback must still advance to the next entry.
+    from manga_ocr_spark.operators.multimodal import decode_ico
+
+    px = _gradient_image(16, 10)
+    want = _tiff_want(px.astype(np.float64).mean(axis=2))
+    truncated_png = encode_png(_gradient_image(32, 32), [0])[:20]  # mid-IHDR
+    ico = encode_ico([truncated_png, encode_png(px, [0])], [(32, 32), (16, 10)])
+    assert decode_ico(ico) == (16, 10, want)
+
+
+def test_ico_truecolor_dib_with_biclrused_palette():
+    # ADVICE r4: a 24-bit DIB entry with biClrUsed>0 legally carries a
+    # color table; the synthetic bfOffBits must skip it or decode_bmp
+    # reads pixel rows shifted by the palette (silently wrong luma).
+    from manga_ocr_spark.operators.multimodal import decode_ico
+
+    px = _gradient_image(16, 10)
+    want = _tiff_want(px.astype(np.float64).mean(axis=2))
+    dib = bytearray(_ico_dib(px))
+    ncolors = 2
+    dib[32:36] = struct.pack("<I", ncolors)  # biClrUsed on a 24-bit DIB
+    with_pal = bytes(dib[:40]) + b"\x11\x22\x33\x00" * ncolors + bytes(dib[40:])
+    assert decode_ico(encode_ico([with_pal], [(16, 10)])) == (16, 10, want)

@@ -302,3 +302,43 @@ def test_encrypted_random_mutations_never_raise():
             data = data[:a] + data[b:]
         res = extract(bytes(data))  # must not raise
         assert res.text is None or isinstance(res.text, str)
+
+
+def test_v1_nonstandard_length_forced_to_40_bit_key():
+    # ADVICE r4: V=1 means 40-bit RC4 by definition (ISO 32000-1 §7.6.1);
+    # a malformed-but-reader-tolerated file declaring /Length 128 must
+    # still derive the 40-bit key, not fail the /U check and degrade.
+    from tests.test_pdf import _simple_pdf
+
+    want = extract_pdf_lines(_simple_pdf(CONTENT))
+    pdf = encrypted_pdf(CONTENT, "rc4-40")
+    patched = pdf.replace(b"/V 1 /R 2 ", b"/V 1 /R 2 /Length 128 ")
+    assert patched != pdf
+    assert extract_pdf_lines(patched) == want
+
+
+def test_incremental_update_later_encrypt_dict_wins():
+    # ADVICE r4: object definitions use later-wins incremental-update
+    # semantics; the Encrypt trailer entry must follow the same rule. The
+    # base revision's trailer points at a STALE Encrypt dict (object 8,
+    # wrong /U); the appended update's trailer points at the good one.
+    from tests.test_pdf import _simple_pdf
+
+    want = extract_pdf_lines(_simple_pdf(CONTENT))
+    pdf = encrypted_pdf(CONTENT, "rc4-128")
+    assert b"/Encrypt 9 0 R" in pdf
+    stale_first = pdf.replace(b"/Encrypt 9 0 R", b"/Encrypt 8 0 R")
+    update = (
+        b"\n8 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /O <"
+        + O_ENTRY.hex().encode()
+        + b"> /U <"
+        + (b"\xaa" * 32).hex().encode()
+        + b"> /P -44 >>\nendobj\ntrailer\n<< /Size 10 /Root 1 0 R "
+        b"/Encrypt 9 0 R /ID [<" + ID0.hex().encode() + b"> <"
+        + ID0.hex().encode()
+        + b">] >>\nstartxref\n0\n%%EOF\n"
+    )
+    assert extract_pdf_lines(stale_first + update) == want
+    # sanity: with only the stale trailer the document degrades (the /U
+    # check on object 8's wrong entry fails) — proves the fixture bites
+    assert extract_pdf_lines(stale_first) is None

@@ -122,3 +122,20 @@ def test_day_bucket_partition_layout(spark, pages_df, tmp_path):
     one_day = spark.read.parquet(f"{out}/extracted").filter("dt = '2024-03-01'")
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_committed_buckets_missing_vs_corrupt_lineage(spark, tmp_path):
+    # the resume correctness boundary: ONLY a missing lineage dir means
+    # "nothing committed"; an unreadable lineage dir must raise instead of
+    # silently answering set() (which would recompute/overwrite everything)
+    import pytest
+
+    out = str(tmp_path / "out")
+    job = ExtractJob(spark, out, num_buckets=4)
+    assert job.committed_buckets() == set()  # fresh start: dir absent
+
+    corrupt = tmp_path / "out" / "lineage"
+    corrupt.mkdir(parents=True)
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        job.committed_buckets()
