@@ -340,10 +340,18 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GUARDED MinHash LSH candidates: exact-fingerprint collapse ->
+    signatures over representatives -> banding with the per-bucket size
+    cap -> rep pairs, expanded back to member-level pairs so the oracle
+    (which mirrors the same collapse/cap/expand in SQL) value-checks the
+    production path end-to-end. The planted exact copies (doc_id>=100000)
+    exercise the collapse: they contribute ONE signature per content, and
+    their pairs come from the expansion, never the self-join."""
     d = _docs_with_dups(spark, sf_dir).filter(
         (F.col("doc_id") < 50) | (F.col("doc_id") >= 100000)
     )
-    return D.minhash_candidate_pairs(D.minhash_lsh_buckets(d))
+    pairs, rep_map = D.lsh_guarded_candidates(d, max_bucket_size=D.LSH_MAX_BUCKET)
+    return D.expand_rep_pairs(pairs, rep_map)
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,9 +451,17 @@ def _q_neardedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     table's NATURAL planted near-dups (25 pairs at jaccard 0.93-0.99);
     the oracle recomputes the answer with full O(N^2) pairwise jaccard +
     a recursive-CTE connected components — so this also verifies the LSH
-    tier finds every >=0.9 pair on this data."""
+    tier finds every >=0.9 pair on this data.
+
+    Uses the GUARDED candidate tier (r5): exact-fingerprint collapse +
+    per-bucket cap; jaccard verification and clustering run on
+    REPRESENTATIVES, and members fold back through rep_map (a non-rep
+    member is an exact duplicate of its rep, hence always dropped; a rep
+    is dropped iff its cluster has a smaller rep). Equivalent keep-set to
+    clustering all members directly — identical content shares every
+    band, every verified edge, and the cluster minimum."""
     d = _t(spark, sf_dir, "documents")
-    cand = D.minhash_candidate_pairs(D.minhash_lsh_buckets(d))
+    cand, rep_map = D.lsh_guarded_candidates(d, max_bucket_size=D.LSH_MAX_BUCKET)
     g = d.select(F.col("doc_id"), D.char_shingles(F.col("text")).alias("grams"))
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
@@ -459,7 +475,9 @@ def _q_neardedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     clusters = D.dup_clusters(verified)
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    drop_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    drop_members = rep_map.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+    drop = drop_reps.unionByName(drop_members)
     return d.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
@@ -974,16 +992,39 @@ with docs_dups as (
   select doc_id + 100000 as doc_id, text from documents where doc_id < 50
 )"""
 
-    mh_pairs = (
-        _minhash_ctes(
-            """select doc_id, text from documents where doc_id < 50
+    # GUARDED-path mirror (operators/dedup.py::lsh_guarded_candidates):
+    # exact-fingerprint collapse to min-id representatives, MinHash over
+    # reps only, per-(band, band_key) size cap, rep self-join, then
+    # expansion back to member-level pairs (within-group + cross-group).
+    mh_dups_select = """select doc_id, text from documents where doc_id < 50
   union all
   select doc_id + 100000 as doc_id, text from documents where doc_id < 50"""
-        )
-        + """
-select distinct a.doc_id as id_a, b.doc_id as id_b
-from buckets a join buckets b
-  on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id"""
+    mh_fp = "md5(regexp_replace(lower(trim(text)), '[\\t\\n\\f\\r ]+', ' ', 'g'))"
+    mh_rep_base = f"""select d.doc_id, d.text
+  from ({mh_dups_select}) d
+  join (select doc_id, min(doc_id) over (partition by {mh_fp}) as rep
+        from ({mh_dups_select})) r
+    on r.doc_id = d.doc_id and r.rep = d.doc_id"""
+    mh_pairs = (
+        _minhash_ctes(mh_rep_base)
+        + f"""
+, bsz as (select band, band_key, count(*) as n from buckets group by band, band_key)
+, kept as (select b.doc_id, b.band, b.band_key
+           from buckets b join bsz using (band, band_key)
+           where bsz.n <= {D.LSH_MAX_BUCKET})
+, rep_pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from kept a join kept b
+    on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id)
+, repmap as (select doc_id, min(doc_id) over (partition by {mh_fp}) as rep
+             from ({mh_dups_select}))
+select least(ma.doc_id, mb.doc_id) as id_a, greatest(ma.doc_id, mb.doc_id) as id_b
+from rep_pairs p
+join repmap ma on ma.rep = p.id_a
+join repmap mb on mb.rep = p.id_b
+union
+select a.doc_id as id_a, b.doc_id as id_b
+from repmap a join repmap b on a.rep = b.rep and a.doc_id < b.doc_id"""
     )
 
     stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)

@@ -216,6 +216,29 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
     return _sig(col)
 
 
+# Default per-(band, band_key) size cap for the guarded LSH tier. A
+# degenerate bucket — m pages sharing a band key — expands to O(m^2)
+# candidate pairs ON ONE REDUCER KEY in the self-join; at 10^12 docs the
+# empty/boilerplate shells and parked-domain clones that survive exact
+# collapse can still make m millions. A bucket with more than this many
+# DISTINCT contents is near-useless for dedup (standard MinHashLSH
+# posture: such buckets are noise, not signal) and is dropped, trading
+# a little recall on mega-clusters for a bounded join.
+LSH_MAX_BUCKET = 64
+
+
+def exact_rep_map(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, rep_id) where rep_id = min id among rows with identical
+    content fingerprint — the exact-duplicate collapse that runs BEFORE
+    MinHash in the guarded tier, so m byte-identical docs contribute one
+    signature (and zero intra-group band pairs) instead of m^2 pairs per
+    band. Same shuffle profile as :func:`exact_dedup` (fingerprint
+    groupBy with partial_min + one fingerprint-keyed join back)."""
+    w = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    reps = w.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
+    return w.join(reps, "fingerprint").select(id_col, "rep_id")
+
+
 def minhash_lsh_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -223,6 +246,7 @@ def minhash_lsh_buckets(
     num_hashes: int = 16,
     bands: int = 4,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Docs -> (band, band_key, id) bucket assignments.
 
@@ -235,6 +259,12 @@ def minhash_lsh_buckets(
     (measured: both join branches carried their own ArrowEvalPython).
     On a cluster the equivalent is staging the signature table to parquet
     before the join — same idea, fault-tolerant storage.
+
+    ``max_bucket_size`` is the hot-bucket guard: (band, band_key) groups
+    with more members are removed BEFORE the self-join (see
+    :data:`LSH_MAX_BUCKET`). The size scan is one cheap count over small
+    key/id rows; dropped buckets can be observed via
+    :func:`oversized_buckets` for a metrics sink.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
@@ -261,9 +291,118 @@ def minhash_lsh_buckets(
             ).alias("band_key"),
         ),
     )
-    return sig.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
+    out = sig.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+    if max_bucket_size is not None:
+        out = _cap_buckets(out, max_bucket_size)
+    return out
+
+
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop (band, band_key) groups larger than ``max_bucket_size`` via a
+    count + left-semi back-join on the bucket key — both sides shuffle on
+    the SAME key, so AQE/ReuseExchange co-partitions them, and the count
+    side carries only (band, band_key, n)."""
+    keep = (
+        buckets.groupBy("band", "band_key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n")
+    )
+    return buckets.join(keep, ["band", "band_key"], "left_semi")
+
+
+def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band, band_key, n) for the buckets the guard WOULD drop — the
+    logged-drop side channel (jobs aggregate this into their metrics sink
+    so capped recall loss is observable, never silent)."""
+    return (
+        buckets.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+    )
+
+
+def lsh_guarded_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The production near-dup candidate generator: exact-fingerprint
+    collapse -> MinHash signatures over REPRESENTATIVES only -> banding
+    with a per-bucket size cap -> candidate pairs among representatives.
+
+    Returns ``(rep_pairs, rep_map)`` — pairs are between representative
+    ids; ``rep_map`` (id, rep_id) folds every member back onto its
+    representative. Downstream dedup never needs member-level pairs:
+    clustering runs on reps and members inherit their rep's cluster
+    (identical content IS the strongest near-dup relation). For
+    small-scale verification/oracles, :func:`expand_rep_pairs`
+    reconstructs the exact member-level pair set of the unguarded form.
+
+    Why this shape at 10^12 docs: byte-identical shells (empty pages,
+    parked domains, error boilerplate) are the worst skew — m copies
+    share EVERY band key, making one bucket's pair expansion O(m^2) on a
+    single reducer key. Collapsing first makes them one signature; the
+    bucket cap bounds whatever degenerate near-identical (not identical)
+    clusters remain. Reference analogue: the content-dedup semantics of
+    run.py:29-51 applied at scale."""
+    rep_map = exact_rep_map(df, text_col, id_col)
+    if materialize:
+        # reused by three consumers (reps filter, downstream fold-back,
+        # possibly expand) and derived through a shuffle — cut once
+        rep_map = rep_map.localCheckpoint()
+    reps = df.join(
+        rep_map.filter(F.col(id_col) == F.col("rep_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    buckets = minhash_lsh_buckets(
+        reps,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        materialize=materialize,
+        max_bucket_size=max_bucket_size,
+    )
+    return minhash_candidate_pairs(buckets, id_col), rep_map
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame, rep_map: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Member-level (id_a < id_b) pairs from representative pairs: every
+    cross-group pair between members of two paired rep groups, plus every
+    within-group pair of each multi-member group. When no bucket was
+    capped this is EXACTLY the unguarded candidate set (identical docs
+    share all band keys with their rep), which is what lets the driver
+    oracle keep checking the guarded path value-for-value. Verification/
+    small-set form: its output is inherently quadratic in group size —
+    at scale consume (rep_pairs, rep_map) directly."""
+    a = rep_map.alias("a")
+    b = rep_map.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.rep_id") == F.col("b.rep_id"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    ma = rep_map.select(F.col("rep_id").alias("id_a"), F.col(id_col).alias("__ma"))
+    mb = rep_map.select(F.col("rep_id").alias("id_b"), F.col(id_col).alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+        )
+    )
+    return within.unionByName(cross).distinct()
 
 
 def minhash_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -511,6 +650,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via banding: split the 64-bit signature into
     ``bands`` equal bit-slices; docs sharing ANY slice are candidates;
@@ -523,6 +663,14 @@ def simhash_candidate_pairs(
     shuffle is the (band, band_key) self-join on small int keys; this is
     the same candidate->verify shape as MinHash LSH -> Jaccard, trading
     shingling cost for a cheaper (token-level) signature.
+
+    ``max_bucket_size`` applies the same hot-bucket guard as the MinHash
+    tier (:data:`LSH_MAX_BUCKET`): band groups larger than the cap are
+    dropped before the self-join. For the full guarded posture compose
+    with :func:`exact_rep_map` / :func:`expand_rep_pairs` exactly as
+    :func:`lsh_guarded_candidates` does for MinHash — identical text
+    yields an identical SimHash, so the collapse argument carries over
+    unchanged.
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
@@ -548,6 +696,8 @@ def simhash_candidate_pairs(
     buckets = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(bands_expr).alias("bk")
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -528,3 +528,95 @@ def test_quality_panel_duckdb_oracle_matches_on_multilingual_corpus(spark):
                 ), (k, got[k], want[k])
             else:
                 assert a == b, (k, got[k], want[k])
+
+
+# -- hot-bucket guard (r5) ----------------------------------------------------
+
+
+def test_guarded_candidates_stay_linear_on_1k_identical_docs(spark):
+    # the r4 scale hazard: m byte-identical shells share EVERY band key,
+    # so the unguarded self-join expands O(m^2) pairs on one reducer key.
+    # The guarded tier collapses them to ONE signature: bucket rows stay
+    # at bands-per-content and the clone block contributes zero rep pairs.
+    rows = [
+        Row(doc_id=i, text="parked domain placeholder page, nothing here")
+        for i in range(1000)
+    ]
+    rows += [
+        Row(doc_id=2000, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2001, text="The  quick brown fox jumps over the lazy dog "),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs, rep_map = D.lsh_guarded_candidates(df)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == set()  # both groups collapse to single reps; no shared band
+    reps = df.join(
+        rep_map.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    assert reps.count() == 2
+    # 1000 clones -> ONE rep -> exactly `bands` bucket assignments
+    buckets = D.minhash_lsh_buckets(reps)
+    assert buckets.filter(F.col("doc_id") < 1000).count() == 4
+    # and the member-level pair set is reconstructed by expansion, linear
+    # join work: 1000-choose-2 within-group pairs + zero cross pairs
+    expanded = D.expand_rep_pairs(pairs, rep_map)
+    assert expanded.count() == (1000 * 999) // 2 + 1  # + the (2000, 2001) pair
+
+
+def test_expand_rep_pairs_equals_unguarded_candidates(spark):
+    # collapse -> rep pairs -> expand must reproduce the UNGUARDED pair
+    # set exactly (identical docs share all bands with their rep) — the
+    # equivalence the driver oracle relies on
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "a completely different document about spark engines",
+        "the quick brown fox jumps over the lazy cat",
+    ]
+    rows = [
+        Row(doc_id=100 * i + c, text=t)
+        for i, t in enumerate(base)
+        for c in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_candidate_pairs(D.minhash_lsh_buckets(df)).collect()
+    }
+    pairs, rep_map = D.lsh_guarded_candidates(df)
+    expanded = {(r.id_a, r.id_b) for r in D.expand_rep_pairs(pairs, rep_map).collect()}
+    assert expanded == unguarded and len(expanded) > 0
+
+
+def test_bucket_cap_drops_hot_buckets_and_reports(spark):
+    # a hot bucket that survives exact collapse (here: uncollapsed clones
+    # stand in for m near-identical-but-distinct shells) is dropped by the
+    # size cap BEFORE the self-join, and oversized_buckets reports it for
+    # the metrics sink — capped recall loss is observable, never silent
+    rows = [Row(doc_id=i, text="boilerplate shell page") for i in range(20)]
+    rows += [
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=101, text="The  quick brown fox jumps over the lazy dog "),
+    ]
+    df = spark.createDataFrame(rows)
+    raw = D.minhash_lsh_buckets(df)
+    over = D.oversized_buckets(raw, 10).collect()
+    assert len(over) == 4 and all(r.n == 20 for r in over)
+    capped = D.minhash_lsh_buckets(df, max_bucket_size=10)
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_candidate_pairs(capped).collect()}
+    assert pairs == {(100, 101)}
+
+
+def test_simhash_cap_drops_hot_buckets(spark):
+    rows = [Row(doc_id=i, text="boilerplate shell page") for i in range(20)]
+    rows += [
+        Row(doc_id=100, text="the quick brown fox"),
+        Row(doc_id=101, text="the quick brown Fox"),  # same lowercased tokens
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_candidate_pairs(df, max_bucket_size=10).collect()
+    }
+    assert got == {(100, 101, 0)}

@@ -213,3 +213,27 @@ def test_warc_range_sort_is_narrow(spark):
     assert "rangepartitioning" not in plan.lower()  # no global sort shuffle
     assert plan.count("Exchange") == 1  # only the test's own repartition
     assert "Sort" in plan  # the per-partition sort is present
+
+
+def test_guarded_candidates_collapse_before_signature_and_join(spark):
+    # r5 hot-bucket guard: the exact-fingerprint collapse must run
+    # UPSTREAM of the signature UDF and the band self-join (m identical
+    # docs -> 1 signature), and the materialized form must keep the
+    # checkpointed-signature contract of the unguarded tier.
+    from manga_ocr_spark.operators.dedup import lsh_guarded_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+
+    pairs, _ = lsh_guarded_candidates(docs)
+    plan = _plan(pairs)
+    assert "EvalPython" not in plan  # signatures ran at checkpoint time
+    assert "Scan ExistingRDD" in plan
+    assert "LeftSemi" in plan  # the bucket-size cap joins before the pair join
+
+    # lazy form exposes the full lineage: in the printed tree, upstream
+    # operators appear BELOW their consumers, so the signature UDF must
+    # print before the fingerprint partial_min aggregate it consumes
+    pairs_lazy, _ = lsh_guarded_candidates(docs, materialize=False)
+    plan2 = _plan(pairs_lazy)
+    assert "ArrowEvalPython" in plan2 and "partial_min" in plan2
+    assert plan2.index("ArrowEvalPython") < plan2.index("partial_min")
