@@ -1041,15 +1041,24 @@ from repmap a join repmap b on a.rep = b.rep and a.doc_id < b.doc_id"""
     # T.LANG_MARKERS (tier 2) so adding a script rule or a language
     # updates BOTH the Spark expression (operators/text.py::lang_id) and
     # this oracle in lockstep; WHEN order mirrors lang_id exactly (script
-    # rules first match wins, then marker ties break earlier-wins)
+    # rules first match wins, then marker ties break earlier-wins).
+    # Script counts/thresholds run over the PROBE WINDOW (substr +
+    # least), mirroring T.SCRIPT_PREFIX_CHARS; the oracle keeps the
+    # length-diff count form (equal to Spark's regexp_count on every
+    # input: one BMP char per match in both engines) and skips the
+    # ASCII short-circuit (a pure evaluation-order device — zero matches
+    # either way).
+    _probe = f"substr(text, 1, {T.SCRIPT_PREFIX_CHARS})"
+    _plen = f"least(length(text), {T.SCRIPT_PREFIX_CHARS})"
+
     def _script_cnt(script: str) -> str:
         cls = T.script_class(script)
-        return f"(length(text) - length(regexp_replace(text, '{cls}', '', 'g')))"
+        return f"(length({_probe}) - length(regexp_replace({_probe}, '{cls}', '', 'g')))"
 
     whens = []
     for lang, scripts, mult in T.SCRIPT_LANG_RULES:
         cnt = " + ".join(_script_cnt(s) for s in scripts)
-        whens.append(f"when ({cnt}) > 0 and ({cnt}) * {mult} >= length(text) then '{lang}'")
+        whens.append(f"when ({cnt}) > 0 and ({cnt}) * {mult} >= {_plen} then '{lang}'")
     c = {lang: _marker(ws) for lang, ws in T.LANG_MARKERS.items()}
     langs = list(T.LANG_MARKERS)
     for i, lang in enumerate(langs):
@@ -1059,7 +1068,7 @@ from repmap a join repmap b on a.rep = b.rep and a.doc_id < b.doc_id"""
         whens.append(f"when {' and '.join(conds)} then '{lang}'")
     lang_case = "\n        case\n          " + "\n          ".join(whens) + "\n          else 'und'\n        end"
     script_frac_cols = ",\n                   ".join(
-        f"round({_script_cnt(s)}::double / greatest(length(text), 1), 6) as {s}_frac"
+        f"round({_script_cnt(s)}::double / greatest({_plen}, 1), 6) as {s}_frac"
         for s in T.SCRIPT_RANGES
     )
 

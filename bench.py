@@ -157,7 +157,7 @@ def _headline_queries(
         # spread the per-doc expression work over cores; at 100 TB the
         # scan's ~800k splits do it)
         "quality_scores": lambda: T.quality_panel(docs),
-        "lang_id": lambda: docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred")),
+        "lang_id": lambda: T.lang_id_frame(docs),
         "media_meta": lambda: E._q_media_meta(spark, sf_dir),
     }
     # median-of-N per query: round 2's apparent regressions

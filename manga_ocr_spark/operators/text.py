@@ -80,6 +80,37 @@ SCRIPT_LANG_RULES: tuple[tuple[str, tuple[str, ...], int], ...] = (
 )
 
 
+# Script detection runs over a bounded PROBE WINDOW — the first
+# SCRIPT_PREFIX_CHARS characters — not the whole document. The script mix
+# of a page is decided in its head (a 2 MB doc does not change script at
+# char 500k), so the per-doc cost of the 10 script regex scans is bounded
+# regardless of document size: the lever that keeps the quality panel
+# flat as per-doc sizes grow toward web-scale outliers. Mirrored exactly
+# in the generated DuckDB oracle (substr + least in __spark_entry__).
+SCRIPT_PREFIX_CHARS = 4096
+
+# One cheap pass deciding "no non-ASCII char in the probe" — when true,
+# every non-Latin script count is 0 by construction and all 10 script
+# regexes are skipped for that row (CASE branches evaluate lazily in
+# codegen). The majority of Common-Crawl text is pure ASCII, so this
+# short-circuits the expensive tier on most rows; non-ASCII rows pay the
+# full scan. Value-equivalence is input-independent (ASCII ⇒ zero
+# matches for every BMP non-Latin class) and pinned by the multilingual
+# oracle-equivalence test.
+_ASCII_ONLY = "^[\x00-\x7f]*$"
+
+
+def script_probe(col: Column) -> Column:
+    """The bounded window all script counts are computed over."""
+    return F.substring(col, 1, SCRIPT_PREFIX_CHARS)
+
+
+def script_probe_len(col: Column) -> Column:
+    """Character length of the probe window (denominator of script
+    fractions and the script-rule thresholds)."""
+    return F.least(F.length(col), F.lit(SCRIPT_PREFIX_CHARS))
+
+
 def script_class(script: str) -> str:
     """The literal regex character class for a SCRIPT_RANGES entry —
     shared verbatim by the Spark expression and the DuckDB oracle."""
@@ -87,17 +118,25 @@ def script_class(script: str) -> str:
 
 
 def script_count(col: Column, script: str) -> Column:
-    """Number of characters of ``script`` in the column — length minus
-    length-after-removal, a pure codegen expression (both engines count
-    code points, and every class char is BMP, so removal shrinks length
-    by exactly the match count in both)."""
-    return F.length(col) - F.length(F.regexp_replace(col, script_class(script), ""))
+    """Number of characters of ``script`` in the column, as
+    ``regexp_count`` over the literal class (measured ~13% faster than
+    the length-minus-length-after-removal form it replaced — no replaced
+    string is materialized). The oracle keeps the length-diff form; the
+    two are equal on every input because each match of a single-char BMP
+    class is exactly one char in both engines (class chars all < U+D800,
+    so no surrogate half can match)."""
+    return F.regexp_count(col, F.lit(script_class(script)))
 
 
 def script_frac(col: Column, script: str) -> Column:
-    """Fraction of characters in ``script`` (6-decimal rounded for the
-    oracle's value-hash contract); NULL propagates like SQL."""
-    return F.round(script_count(col, script) / F.greatest(F.length(col), F.lit(1)), 6)
+    """Fraction of probe-window characters in ``script`` (6-decimal
+    rounded for the oracle's value-hash contract); NULL propagates like
+    SQL."""
+    return F.round(
+        script_count(script_probe(col), script)
+        / F.greatest(script_probe_len(col), F.lit(1)),
+        6,
+    )
 
 
 def tokens(col: Column) -> Column:
@@ -189,13 +228,74 @@ def lang_id(col: Column) -> Column:
     Tier 2 — marker-word argmax over LANG_MARKERS for Latin-script
     languages, 'und' when all zero. Ties break by language-code order.
 
+    Script counts and rule thresholds run over the bounded probe window
+    (:data:`SCRIPT_PREFIX_CHARS`) behind the ASCII short-circuit
+    (:data:`_ASCII_ONLY`): a pure-ASCII probe proves every non-Latin
+    count is 0 without running the 10 script regexes. Marker words scan
+    the full text (they decide the Latin-language argmax, and are one
+    cheap alternation each).
+
     The DuckDB oracle CASE is generated from the SAME two tables
     (SCRIPT_LANG_RULES + LANG_MARKERS) in __spark_entry__, so both sides
     update in lockstep."""
+    probe = script_probe(col)
+    ascii_only = probe.rlike(_ASCII_ONLY)
     return _lang_from_counts(
-        {s: script_count(col, s) for s in SCRIPT_RANGES},
+        {
+            s: F.when(ascii_only, F.lit(0)).otherwise(script_count(probe, s))
+            for s in SCRIPT_RANGES
+        },
         {lang: marker_count(col, ws) for lang, ws in LANG_MARKERS.items()},
-        F.length(col),
+        script_probe_len(col),
+    )
+
+
+def lang_id_frame(df, text_col: str = "text", id_col: str = "doc_id"):
+    """lang_id as a LAYERED two-select frame — the form for table-scale
+    scans. The single-expression :func:`lang_id` duplicates each count
+    subtree inside nested CASE conditions (``cnt > 0`` and
+    ``cnt * mult >= n`` both reference it, at a different nesting depth
+    per rule), and codegen's subexpression elimination does not reliably
+    deduplicate across conditional branches — measured ~2x slower than
+    this form at sf0.1 (1.39s vs 0.6s). Binding every script/marker
+    count as a non-cheap, multi-referenced intermediate column makes the
+    decision CASE pure integer work, the same structure (and for the
+    same reason) as :func:`quality_panel`'s layering. Only scripts some
+    SCRIPT_LANG_RULES rule references are counted; the ASCII
+    short-circuit skips those regexes row-wise on pure-ASCII probes.
+
+    Output: (id, lang_pred) — identical values to :func:`lang_id`."""
+    rule_scripts = {s for _, scripts, _ in SCRIPT_LANG_RULES for s in scripts}
+    used = [s for s in SCRIPT_RANGES if s in rule_scripts]
+    text = F.col(text_col)
+    s0 = df.select(
+        F.col(id_col),
+        text,
+        script_probe(text).alias("__probe"),
+        script_probe(text).rlike(_ASCII_ONLY).alias("__ascii"),
+        script_probe_len(text).alias("__plen"),
+    )
+    s1 = s0.select(
+        F.col(id_col),
+        "__plen",
+        *[
+            F.when(F.col("__ascii"), F.lit(0))
+            .otherwise(script_count(F.col("__probe"), s))
+            .alias(f"__sc_{s}")
+            for s in used
+        ],
+        *[
+            marker_count(text, ws).alias(f"__mc_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    return s1.select(
+        F.col(id_col),
+        _lang_from_counts(
+            {s: F.col(f"__sc_{s}") for s in used},
+            {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},
+            F.col("__plen"),
+        ).alias("lang_pred"),
     )
 
 
@@ -294,11 +394,26 @@ def top_gram_frac(grams: Column) -> Column:
     explode, no join — strictly cheaper at 10^12 docs than the
     explode->count->max shape (and NOT the per-doc quadratic
     ``transform(distinct, count)`` form). 0.0 for empty/NULL arrays
-    (coalesced by the caller)."""
+    (coalesced by the caller).
+
+    NOTE: ``grams`` appears in both the hash pipeline and the size()
+    denominator; in a CodegenFallback Project a non-trivial grams
+    expression is evaluated twice. quality_panel avoids that by binding
+    the SORTED HASH arrays as layer-2 columns and building the fraction
+    from bound references (:func:`_top_run_best`); this standalone form
+    is for callers passing a cheap array reference."""
     hashed = F.transform(grams, lambda g: F.xxhash64(g))
-    sg = F.array_sort(hashed)
+    return F.round(
+        _top_run_best(F.array_sort(hashed)) / F.greatest(F.size(grams), F.lit(1)), 6
+    )
+
+
+def _top_run_best(sorted_hashes: Column) -> Column:
+    """Longest run of equal adjacent elements of an ALREADY-SORTED array
+    (= max multiplicity), as the shuffle-free fold shared by
+    :func:`top_gram_frac` and quality_panel's bound-column form."""
     state = F.aggregate(
-        sg,
+        sorted_hashes,
         F.struct(
             F.lit(None).cast("long").alias("prev"),
             F.lit(0).alias("run"),
@@ -315,7 +430,22 @@ def top_gram_frac(grams: Column) -> Column:
             ).alias("best"),
         ),
     )
-    return F.round(state["best"] / F.greatest(F.size(grams), F.lit(1)), 6)
+    return state["best"]
+
+
+def word_bigram_hashes_from_tokens(toks: Column) -> Column:
+    """xxhash64 of each adjacent word pair, hashed DIRECTLY from the two
+    tokens (``xxhash64(a, b)``) — no 'a b' concat string is ever built,
+    measured ~18% faster than hashing the concatenated bigram at sf0.1.
+    Multiplicities equal those of the string bigrams absent a ~2^-64
+    in-doc collision (same argument as :func:`top_gram_frac`'s
+    hash-first sort; xxhash64 of a 2-column tuple is injective over the
+    pair up to hash collision, and the oracle counts the raw token
+    pairs)."""
+    n = F.size(toks)
+    left = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    right = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    return F.zip_with(left, right, lambda a, b: F.xxhash64(a, b))
 
 
 def repetition_columns(text_col: str = "text") -> list[Column]:
@@ -342,6 +472,14 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     repetition fractions. A single scan, zero shuffles/joins (plan-pinned
     by tests/test_plans.py).
 
+    Script-tier contract (r5): script counts, fractions and rule
+    thresholds are computed over the probe window
+    (:data:`SCRIPT_PREFIX_CHARS`, first 4096 chars) so the 10 script
+    regexes cost O(1) per doc however large the doc; a pure-ASCII probe
+    skips them entirely (:data:`_ASCII_ONLY`). Both are mirrored in the
+    generated DuckDB oracle. latin_frac stays real on ASCII rows (its
+    count is the one script the guard cannot zero).
+
     STRUCTURE MATTERS HERE: the panel is built as LAYERED selects whose
     intermediate columns (token array, script/marker counts, stopword
     count, ...) are each referenced more than once downstream, so every
@@ -355,24 +493,49 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     because the aliases are non-cheap and multi-referenced;
     tests/test_plans.py pins the zero-Exchange single-scan shape."""
     text = F.col(text_col)
-    # layer 1: per-row primitives, each computed once per row
-    s1 = df.select(
+    # layer 0: the script-tier probe window and its ASCII short-circuit —
+    # non-cheap, multi-referenced aliases, so CollapseProject keeps them
+    # as bound columns and the rlike runs once per row, not once per
+    # script
+    s0 = df.select(
+        F.col(id_col),
+        text,
+        script_probe(text).alias("__probe"),
+        script_probe(text).rlike(_ASCII_ONLY).alias("__ascii"),
+        script_probe_len(text).alias("__plen"),
+    )
+    probe = F.col("__probe")
+    # layer 1: per-row primitives, each computed once per row; script
+    # counts are guarded — a pure-ASCII probe proves them all 0 and the
+    # 10 script regexes are skipped for that row (lazy CASE branches)
+    s1 = s0.select(
         F.col(id_col),
         F.length(text).alias("__n"),
+        "__plen",
         F.length(F.trim(text)).alias("__trimlen"),
         tokens(text).alias("__toks"),
         _alnum_count(text).alias("__alnum"),
-        *[script_count(text, s).alias(f"__sc_{s}") for s in SCRIPT_RANGES],
+        *[
+            F.when(F.col("__ascii") & F.lit(s != "latin"), F.lit(0))
+            .otherwise(script_count(probe, s))
+            .alias(f"__sc_{s}")
+            for s in SCRIPT_RANGES
+        ],
         *[
             marker_count(text, ws).alias(f"__mc_{lang}")
             for lang, ws in LANG_MARKERS.items()
         ],
     )
-    # layer 2: token-array derivatives (reference __toks several times)
+    # layer 2: token-array derivatives (reference __toks several times);
+    # the repetition inputs are bound as SORTED HASH arrays so layer 3's
+    # fold and size() hit a BoundReference, never re-evaluate the
+    # filter/zip_with pipelines (this Project is CodegenFallback — a
+    # repeated subtree would genuinely run twice per row)
     tk = F.col("__toks")
     s2 = s1.select(
         F.col(id_col),
         "__n",
+        "__plen",
         "__trimlen",
         "__alnum",
         *[f"__sc_{s}" for s in SCRIPT_RANGES],
@@ -380,8 +543,12 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         F.size(tk).alias("__ntok"),
         _stop_count(tk).alias("__nstop"),
         _token_len_sum(tk).alias("__toklen"),
-        top_gram_frac(F.filter(tk, lambda t: F.length(t) > 0)).alias("__uni_frac"),
-        top_gram_frac(word_bigrams_from_tokens(tk)).alias("__bi_frac"),
+        F.array_sort(
+            F.transform(
+                F.filter(tk, lambda t: F.length(t) > 0), lambda g: F.xxhash64(g)
+            )
+        ).alias("__uni_h"),
+        F.array_sort(word_bigram_hashes_from_tokens(tk)).alias("__bi_h"),
     )
     # layer 3: final columns via the SAME count-parameterized helpers the
     # standalone operators use — the definitions cannot drift
@@ -402,14 +569,30 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         _lang_from_counts(
             {s: F.col(f"__sc_{s}") for s in SCRIPT_RANGES},
             {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},
-            n,
+            F.col("__plen"),
         ).alias("lang_pred"),
         *[
-            F.round(F.col(f"__sc_{s}") / F.greatest(n, F.lit(1)), 6).alias(f"{s}_frac")
+            F.round(
+                F.col(f"__sc_{s}") / F.greatest(F.col("__plen"), F.lit(1)), 6
+            ).alias(f"{s}_frac")
             for s in SCRIPT_RANGES
         ],
-        F.coalesce(F.col("__uni_frac"), F.lit(0.0)).alias("top_unigram_frac"),
-        F.coalesce(F.col("__bi_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce(
+            F.round(
+                _top_run_best(F.col("__uni_h"))
+                / F.greatest(F.size(F.col("__uni_h")), F.lit(1)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("top_unigram_frac"),
+        F.coalesce(
+            F.round(
+                _top_run_best(F.col("__bi_h"))
+                / F.greatest(F.size(F.col("__bi_h")), F.lit(1)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
     )
 
 
