@@ -33,6 +33,16 @@ LANG_MARKERS = {
     "pt": ("uma", "isso", "muito"),
     "nl": ("het", "een", "niet"),
     "sv": ("och", "det", "som"),
+    # r5 widening — appended AFTER the original eight so existing
+    # tie-break behavior is unchanged (earlier wins). Markers must stay
+    # ASCII; Vietnamese is deliberately absent — its common function
+    # words are all diacritical, and diacritic-stripped forms would
+    # misfire on other languages.
+    "pl": ("nie", "jest", "oraz"),
+    "tr": ("bir", "ve", "bu"),
+    "id": ("yang", "dan", "untuk"),
+    "cs": ("jsem", "aby", "nebo"),
+    "ro": ("pentru", "sunt", "dintre"),
 }
 
 # Per-script BMP code-point ranges for the script-class tier of lang_id —
@@ -45,6 +55,12 @@ LANG_MARKERS = {
 # class, so the Java (Spark) and RE2 (DuckDB oracle) regexes are the
 # same bytes with the same meaning. Both the Spark expressions and the
 # oracle SQL are generated from THIS table — one source of truth.
+# BMP-ONLY IS A TESTED CONTRACT, not an accident: astral-plane scripts
+# (CJK Ext B and beyond) match NO class — a Java class literal with an
+# astral char would be split into surrogate halves with a different
+# meaning than RE2's code-point semantics — so such pages fall through
+# the script tier to the marker tier / 'und'
+# (tests/test_operators.py::test_astral_scripts_fall_through_to_marker_tier).
 SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
     "hiragana": ((0x3041, 0x309F),),  # incl. combining marks/iteration marks
     "katakana": ((0x30A1, 0x30FA), (0x30FC, 0x30FF)),  # excl. ・ (0x30FB)

@@ -620,3 +620,66 @@ def test_simhash_cap_drops_hot_buckets(spark):
         for r in D.simhash_candidate_pairs(df, max_bucket_size=10).collect()
     }
     assert got == {(100, 101, 0)}
+
+
+# -- lang-id widening + BMP contract (r5) -------------------------------------
+
+
+def test_lang_id_widened_latin_marker_languages(spark):
+    # r5 widening: pl/tr/id/cs/ro appended AFTER the original eight, so
+    # all-zero/tie behavior of existing languages is unchanged; the
+    # oracle CASE is generated from the same table.
+    texts = {
+        0: "to nie jest problem oraz nic więcej",        # pl
+        1: "bu bir deneme ve bir test",                  # tr
+        2: "yang penting dan berguna untuk semua",       # id
+        3: "jsem tady aby nebo ne",                      # cs
+        4: "pentru ca sunt multe dintre ele",            # ro
+        5: "the cat and the dog of mine",                # en unchanged
+        6: "xyzzy plugh",                                # und unchanged
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out == {0: "pl", 1: "tr", 2: "id", 3: "cs", 4: "ro", 5: "en", 6: "und"}
+    # the layered frame form agrees
+    frame = {r.doc_id: r.lang_pred for r in T.lang_id_frame(df).collect()}
+    assert frame == out
+
+
+def test_astral_scripts_fall_through_to_marker_tier(spark):
+    # the BMP-only contract of SCRIPT_RANGES: astral-plane scripts (CJK
+    # Ext B, U+20000+) match NO script class — a class literal with an
+    # astral char would be split into UTF-16 surrogate halves by Java's
+    # regex engine, diverging from RE2's code-point semantics — so such
+    # pages must NOT misclassify: they fall to the marker tier ('und'
+    # without Latin markers, the marker argmax with them).
+    ext_b = "\U00020000\U00020001\U00020002" * 40
+    texts = {
+        0: ext_b,                                   # pure Ext B -> und
+        1: ext_b + " the cat and the dog of it",    # marker tier still works
+        # a lone surrogate cannot appear in a Python str written this way;
+        # mixed BMP han + Ext B: the BMP chars alone decide
+        2: "汉字文本没有假名只有中文内容这里全是汉字" + ext_b[:8],
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[0] == "und"
+    assert out[1] == "en"
+    # BMP han fraction over the probe: 20 han chars vs 20 + 16 UTF-16
+    # units of Ext B -> still >= 25% -> zh (the BMP tier keeps working
+    # in the presence of astral padding)
+    assert out[2] == "zh"
