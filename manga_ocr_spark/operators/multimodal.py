@@ -9,8 +9,8 @@ libraries):
 
 - **PNG** — chunk walk, size-capped IDAT inflate, per-scanline
   un-filtering (all five filter types), numpy pixel stats. 8-bit
-  gray/RGB/alpha/paletted, non-interlaced and Adam7; sub-byte paletted
-  (depths 1/2/4) non-interlaced only (interlaced sub-byte stubs).
+  gray/RGB/alpha/paletted, non-interlaced and Adam7 — including sub-byte
+  paletted (depths 1/2/4) in BOTH forms (per-pass row strides).
 - **JPEG** — T.81 baseline (SOF0) AND progressive (SOF2: spectral
   selection, successive approximation, EOB runs) via operators/jpeg.py:
   Huffman entropy decode, dequant, IDCT, luma plane; validated against
@@ -170,12 +170,34 @@ _ADAM7 = (
 )
 
 
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (xs, ys, xstep, ystep, pw, ph)."""
+    passes = []
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = -(-(w - xs) // xstep) if w > xs else 0
+        ph = -(-(h - ys) // ystep) if h > ys else 0
+        if pw > 0 and ph > 0:
+            passes.append((xs, ys, xstep, ystep, pw, ph))
+    return passes
+
+
+def _unpack_subbyte(packed: np.ndarray, ph: int, pw: int, depth: int) -> np.ndarray:
+    """(ph, stride) packed rows -> (ph, pw) palette indices: MSB-first
+    sub-byte unpack at depth 1/2/4 (PNG packs each ROW independently,
+    padding the last byte — which is why interlaced sub-byte images
+    must unpack PER PASS, each pass having its own row stride)."""
+    bits = np.unpackbits(packed, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return (bits.astype(np.int64) * weights).sum(axis=2)
+
+
 def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib PNG decode -> (width, height, 8 luma-band features).
 
     Supports bit depth 8 for color types 0/2/3/4/6 (gray, RGB, paletted,
-    +alpha) and bit depths 1/2/4 for paletted (non-interlaced),
-    non-interlaced AND Adam7-interlaced for byte-aligned variants.
+    +alpha) and bit depths 1/2/4 for paletted — every combination
+    non-interlaced AND Adam7-interlaced (sub-byte passes unpack with
+    pass-local row strides).
     Features: mean luminance of 8 horizontal bands, alpha excluded,
     palette resolved through PLTE, normalized to [0, 1] and rounded to
     6 places. Raises on anything it does not support (caller falls back).
@@ -214,40 +236,48 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
         # crafted headers BEFORE allocating (a worker OOM is not
         # recoverable by the per-row except in _decode)
         raise ValueError("PNG dimensions out of bounds")
-    if depth != 8 and not (color == 3 and depth in (1, 2, 4) and interlace == 0):
-        # sub-byte depths: paletted non-interlaced only (the common case
-        # for small crawled graphics; interlaced sub-byte packs per-pass
-        # strides and is rare enough to stub)
+    if depth != 8 and not (color == 3 and depth in (1, 2, 4)):
+        # sub-byte depths exist only for paletted/gray; gray 1/2/4 and
+        # 16-bit stay stubbed (rare in crawled graphics)
         raise ValueError("unsupported PNG bit depth")
     if color == 3:
         if plte is None:
             raise ValueError("paletted PNG without PLTE")
         if depth < 8:
-            stride = (w * depth + 7) // 8
-            raw = _inflate_exact(bytes(idat), h * (stride + 1))
-            packed = _png_unfilter(raw, h, stride, 1)
-            # unpack MSB-first sub-byte indices
-            bits = np.unpackbits(packed, axis=1)[:, : w * depth].reshape(h, w, depth)
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
-            idx = (bits.astype(np.int64) * weights).sum(axis=2)
+            if interlace == 1:
+                # Adam7 sub-byte: every pass packs its OWN row stride
+                # ((pw*depth+7)//8 — the per-pass byte padding is exactly
+                # why this case needs pass-local unpacking), filters with
+                # bpp=1 on the packed bytes per the spec
+                passes = _adam7_passes(w, h)
+                raw = _inflate_exact(
+                    bytes(idat),
+                    sum(ph * ((pw * depth + 7) // 8 + 1) for *_, pw, ph in passes),
+                )
+                idx = np.zeros((h, w), dtype=np.int64)
+                pos2 = 0
+                for xs, ys, xstep, ystep, pw, ph in passes:
+                    pstride = (pw * depth + 7) // 8
+                    sub_raw = raw[pos2 : pos2 + ph * (pstride + 1)]
+                    pos2 += ph * (pstride + 1)
+                    packed = _png_unfilter(sub_raw, ph, pstride, 1)
+                    idx[ys::ystep, xs::xstep] = _unpack_subbyte(packed, ph, pw, depth)
+            else:
+                stride = (w * depth + 7) // 8
+                raw = _inflate_exact(bytes(idat), h * (stride + 1))
+                packed = _png_unfilter(raw, h, stride, 1)
+                idx = _unpack_subbyte(packed, h, w, depth)
             if int(idx.max(initial=0)) >= len(plte):
                 raise ValueError("palette index out of range")
             luma = plte[idx].astype(np.float64).mean(axis=2)
-            bands = np.array_split(luma, FEATURE_DIM, axis=0)
-            feat = [round(float(b.mean()) / 255.0, 6) if b.size else 0.0 for b in bands]
-            return int(w), int(h), feat
+            return int(w), int(h), _luma_features(luma)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * channels
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images, de-interlaced
         # back onto the full-pixel grid; total plaintext size is the sum
         # of the per-pass sub-images, computable before inflating
-        passes = []
-        for xs, ys, xstep, ystep in _ADAM7:
-            pw = -(-(w - xs) // xstep) if w > xs else 0
-            ph = -(-(h - ys) // ystep) if h > ys else 0
-            if pw > 0 and ph > 0:
-                passes.append((xs, ys, xstep, ystep, pw, ph))
+        passes = _adam7_passes(w, h)
         raw = _inflate_exact(
             bytes(idat), sum(ph * (pw * channels + 1) for *_, pw, ph in passes)
         )

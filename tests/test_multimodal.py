@@ -463,20 +463,17 @@ def test_gif_literal_fixture_stream_roundtrips():
             assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs) == idx, (mcs, n)
 
 
-def encode_png_paletted(idx: np.ndarray, palette: list[tuple[int, int, int]], depth: int = 8) -> bytes:
-    """Independent paletted (color type 3) PNG encoder: PLTE + packed
-    indices at depth 1/2/4/8, filter 0 rows."""
-    h, w = idx.shape
-    plte = b"".join(bytes(c) for c in palette)
+def _pack_rows(block: np.ndarray, depth: int) -> bytearray:
+    """Filter-0 rows of MSB-first packed palette indices (row-padded)."""
     raw = bytearray()
-    for y in range(h):
+    for y in range(block.shape[0]):
         raw.append(0)  # filter none
         if depth == 8:
-            raw += bytes(int(v) for v in idx[y])
+            raw += bytes(int(v) for v in block[y])
         else:
             acc = nbits = 0
             rowbytes = bytearray()
-            for v in idx[y]:
+            for v in block[y]:
                 acc = (acc << depth) | int(v)
                 nbits += depth
                 if nbits == 8:
@@ -485,7 +482,29 @@ def encode_png_paletted(idx: np.ndarray, palette: list[tuple[int, int, int]], de
             if nbits:
                 rowbytes.append(acc << (8 - nbits))
             raw += rowbytes
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return raw
+
+
+def encode_png_paletted(
+    idx: np.ndarray,
+    palette: list[tuple[int, int, int]],
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Independent paletted (color type 3) PNG encoder: PLTE + packed
+    indices at depth 1/2/4/8, filter 0 rows; optional Adam7 interlacing
+    (each pass packed with its own row padding, per the spec)."""
+    h, w = idx.shape
+    plte = b"".join(bytes(c) for c in palette)
+    raw = bytearray()
+    if interlace:
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = idx[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _pack_rows(sub, depth)
+    else:
+        raw += _pack_rows(idx, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -977,6 +996,7 @@ def test_media_decode_corruption_fuzz_never_raises_and_stays_bounded():
     bases = [
         encode_png(rgb, [0, 1, 2, 3, 4]),
         encode_png_paletted(idx.astype(np.int64), pal, 4),
+        encode_png_paletted(idx.astype(np.int64), pal, 2, interlace=1),
         jpg,
         encode_bmp(rgb),
         encode_bmp_variant(rgb, 32),
@@ -1060,3 +1080,29 @@ def test_ico_truecolor_dib_with_biclrused_palette():
     dib[32:36] = struct.pack("<I", ncolors)  # biClrUsed on a 24-bit DIB
     with_pal = bytes(dib[:40]) + b"\x11\x22\x33\x00" * ncolors + bytes(dib[40:])
     assert decode_ico(encode_ico([with_pal], [(16, 10)])) == (16, 10, want)
+
+
+def test_png_paletted_subbyte_interlaced_decode():
+    # r5: the last PNG stub — Adam7-interlaced sub-byte paletted images.
+    # Each pass packs its OWN row stride; odd widths/heights exercise the
+    # per-pass byte padding, 1x1..3x9 exercise passes that are empty.
+    from manga_ocr_spark.operators.multimodal import decode_png
+
+    pal16 = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    rng = np.random.RandomState(11)
+    for depth, ncolors in ((1, 2), (2, 4), (4, 16), (8, 16)):
+        for (hh, ww) in ((11, 13), (1, 1), (3, 9), (8, 8), (9, 17)):
+            idx = rng.randint(0, ncolors, size=(hh, ww))
+            data = encode_png_paletted(idx, pal16[:ncolors], depth, interlace=1)
+            w, h, feat = decode_png(data)
+            assert (w, h) == (ww, hh), (depth, hh, ww)
+            pal = np.array(pal16[:ncolors], dtype=np.float64)
+            luma = pal[idx].mean(axis=2)
+            want = [
+                round(float(b.mean()) / 255.0, 6) if b.size else 0.0
+                for b in np.array_split(luma, FEATURE_DIM, axis=0)
+            ]
+            assert feat == want, (depth, hh, ww)
+            # and the plain form agrees with the interlaced form
+            plain = encode_png_paletted(idx, pal16[:ncolors], depth, interlace=0)
+            assert decode_png(plain) == (w, h, feat), (depth, hh, ww)
