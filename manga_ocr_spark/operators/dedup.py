@@ -402,7 +402,12 @@ def expand_rep_pairs(
             F.greatest("__ma", "__mb").alias("id_b"),
         )
     )
-    return within.unionByName(cross).distinct()
+    # no distinct needed — saves a full shuffle over the (quadratic)
+    # output: every member belongs to exactly one fingerprint group, so a
+    # member pair determines its (rep_a, rep_b) uniquely; within-group
+    # pairs (rep_a == rep_b) and cross-group pairs (rep_a != rep_b) are
+    # disjoint, and rep_pairs is already distinct
+    return within.unionByName(cross)
 
 
 def minhash_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
