@@ -10,7 +10,7 @@ libraries):
 - **PNG** — chunk walk, size-capped IDAT inflate, per-scanline
   un-filtering (all five filter types), numpy pixel stats. 8-bit
   gray/RGB/alpha/paletted, non-interlaced and Adam7 — including sub-byte
-  paletted (depths 1/2/4) in BOTH forms (per-pass row strides).
+  paletted AND grayscale (depths 1/2/4) in BOTH forms (per-pass strides).
 - **JPEG** — T.81 baseline (SOF0) AND progressive (SOF2: spectral
   selection, successive approximation, EOB runs) via operators/jpeg.py:
   Huffman entropy decode, dequant, IDCT, luma plane; validated against
@@ -195,9 +195,10 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib PNG decode -> (width, height, 8 luma-band features).
 
     Supports bit depth 8 for color types 0/2/3/4/6 (gray, RGB, paletted,
-    +alpha) and bit depths 1/2/4 for paletted — every combination
-    non-interlaced AND Adam7-interlaced (sub-byte passes unpack with
-    pass-local row strides).
+    +alpha) and bit depths 1/2/4 for paletted AND grayscale — every
+    combination non-interlaced AND Adam7-interlaced (sub-byte passes
+    unpack with pass-local row strides; gray samples scale by
+    255/(2^depth-1) per PNG 11.2.2).
     Features: mean luminance of 8 horizontal bands, alpha excluded,
     palette resolved through PLTE, normalized to [0, 1] and rounded to
     6 places. Raises on anything it does not support (caller falls back).
@@ -236,41 +237,47 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
         # crafted headers BEFORE allocating (a worker OOM is not
         # recoverable by the per-row except in _decode)
         raise ValueError("PNG dimensions out of bounds")
-    if depth != 8 and not (color == 3 and depth in (1, 2, 4)):
-        # sub-byte depths exist only for paletted/gray; gray 1/2/4 and
-        # 16-bit stay stubbed (rare in crawled graphics)
+    if depth != 8 and not (color in (0, 3) and depth in (1, 2, 4)):
+        # sub-byte depths exist only for paletted/gray (both supported);
+        # 16-bit stays stubbed (rare in crawled graphics)
         raise ValueError("unsupported PNG bit depth")
-    if color == 3:
-        if plte is None:
-            raise ValueError("paletted PNG without PLTE")
-        if depth < 8:
-            if interlace == 1:
-                # Adam7 sub-byte: every pass packs its OWN row stride
-                # ((pw*depth+7)//8 — the per-pass byte padding is exactly
-                # why this case needs pass-local unpacking), filters with
-                # bpp=1 on the packed bytes per the spec
-                passes = _adam7_passes(w, h)
-                raw = _inflate_exact(
-                    bytes(idat),
-                    sum(ph * ((pw * depth + 7) // 8 + 1) for *_, pw, ph in passes),
-                )
-                idx = np.zeros((h, w), dtype=np.int64)
-                pos2 = 0
-                for xs, ys, xstep, ystep, pw, ph in passes:
-                    pstride = (pw * depth + 7) // 8
-                    sub_raw = raw[pos2 : pos2 + ph * (pstride + 1)]
-                    pos2 += ph * (pstride + 1)
-                    packed = _png_unfilter(sub_raw, ph, pstride, 1)
-                    idx[ys::ystep, xs::xstep] = _unpack_subbyte(packed, ph, pw, depth)
-            else:
-                stride = (w * depth + 7) // 8
-                raw = _inflate_exact(bytes(idat), h * (stride + 1))
-                packed = _png_unfilter(raw, h, stride, 1)
-                idx = _unpack_subbyte(packed, h, w, depth)
+    if depth < 8:
+        if interlace == 1:
+            # Adam7 sub-byte: every pass packs its OWN row stride
+            # ((pw*depth+7)//8 — the per-pass byte padding is exactly
+            # why this case needs pass-local unpacking), filters with
+            # bpp=1 on the packed bytes per the spec
+            passes = _adam7_passes(w, h)
+            raw = _inflate_exact(
+                bytes(idat),
+                sum(ph * ((pw * depth + 7) // 8 + 1) for *_, pw, ph in passes),
+            )
+            idx = np.zeros((h, w), dtype=np.int64)
+            pos2 = 0
+            for xs, ys, xstep, ystep, pw, ph in passes:
+                pstride = (pw * depth + 7) // 8
+                sub_raw = raw[pos2 : pos2 + ph * (pstride + 1)]
+                pos2 += ph * (pstride + 1)
+                packed = _png_unfilter(sub_raw, ph, pstride, 1)
+                idx[ys::ystep, xs::xstep] = _unpack_subbyte(packed, ph, pw, depth)
+        else:
+            stride = (w * depth + 7) // 8
+            raw = _inflate_exact(bytes(idat), h * (stride + 1))
+            packed = _png_unfilter(raw, h, stride, 1)
+            idx = _unpack_subbyte(packed, h, w, depth)
+        if color == 3:
+            if plte is None:
+                raise ValueError("paletted PNG without PLTE")
             if int(idx.max(initial=0)) >= len(plte):
                 raise ValueError("palette index out of range")
             luma = plte[idx].astype(np.float64).mean(axis=2)
-            return int(w), int(h), _luma_features(luma)
+        else:
+            # grayscale: sample scales to intensity by 255/(2^depth - 1)
+            # (PNG 11.2.2 sample depth scaling)
+            luma = idx.astype(np.float64) * (255.0 / ((1 << depth) - 1))
+        return int(w), int(h), _luma_features(luma)
+    if color == 3 and plte is None:
+        raise ValueError("paletted PNG without PLTE")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * channels
     if interlace == 1:

@@ -1106,3 +1106,43 @@ def test_png_paletted_subbyte_interlaced_decode():
             # and the plain form agrees with the interlaced form
             plain = encode_png_paletted(idx, pal16[:ncolors], depth, interlace=0)
             assert decode_png(plain) == (w, h, feat), (depth, hh, ww)
+
+
+def encode_png_gray_subbyte(samples: np.ndarray, depth: int, interlace: int = 0) -> bytes:
+    """Independent grayscale (color type 0) sub-byte PNG encoder."""
+    h, w = samples.shape
+    raw = bytearray()
+    if interlace:
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = samples[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _pack_rows(sub, depth)
+    else:
+        raw += _pack_rows(samples, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_gray_subbyte_decode_both_interlace_forms():
+    # r5: gray 1/2/4-bit PNGs (old icons, fax-style scans) decode through
+    # the same sub-byte machinery; samples scale by 255/(2^depth-1)
+    # (PNG 11.2.2), plain and Adam7 agree
+    from manga_ocr_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    for depth in (1, 2, 4):
+        for (hh, ww) in ((11, 13), (1, 3), (9, 17)):
+            samples = rng.randint(0, 1 << depth, size=(hh, ww))
+            luma = samples.astype(np.float64) * (255.0 / ((1 << depth) - 1))
+            want = [
+                round(float(b.mean()) / 255.0, 6) if b.size else 0.0
+                for b in np.array_split(luma, FEATURE_DIM, axis=0)
+            ]
+            for interlace in (0, 1):
+                data = encode_png_gray_subbyte(samples, depth, interlace)
+                assert decode_png(data) == (ww, hh, want), (depth, hh, ww, interlace)
