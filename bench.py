@@ -136,8 +136,12 @@ def _headline_queries(
         "window_rank_orders": lambda: E._q_window_rank(spark, sf_dir),
         "events_hourly": lambda: E._q_events_hourly(spark, sf_dir),
         "dedup_exact_keep": lambda: D.exact_dedup(docs),
-        "minhash_candidate_pairs": lambda: D.minhash_candidate_pairs(
-            D.minhash_lsh_buckets(docs)
+        # the GUARDED production shape (r5): exact collapse -> signatures
+        # on reps -> capped banding -> rep pairs + expansion — the same
+        # path the driver query runs; benching the unguarded form would
+        # hide regressions in the scale-critical collapse/cap stages
+        "minhash_candidate_pairs": lambda: D.expand_rep_pairs(
+            *D.lsh_guarded_candidates(docs, max_bucket_size=D.LSH_MAX_BUCKET)
         ),
         "simhash_docs": lambda: D.simhash64(docs),
         "simhash_candidate_pairs": lambda: D.simhash_candidate_pairs(docs),

@@ -411,6 +411,9 @@ class _Pdf:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.objects: dict[int, object] = {}
+        # file offset of each object's (latest) definition — _find_encrypt
+        # merges XRef-stream dicts with classic trailers in file order
+        self._obj_pos: dict[int, int] = {}
         self.undecryptable = False
         self._scan_objects()
         # decryption runs BETWEEN the raw scan and ObjStm unpacking: the
@@ -462,6 +465,7 @@ class _Pdf:
             consumed_until = max(consumed_until, end_pos)
             # later definitions win (incremental-update semantics)
             self.objects[num] = val
+            self._obj_pos[num] = m.start()
 
     def _find_encrypt(self):
         """(Encrypt value, first-ID bytes) from trailer dicts and
@@ -471,33 +475,45 @@ class _Pdf:
 
         LATER entries win, mirroring the later-definitions-win rule of
         _scan_objects: an incrementally updated document that changed its
-        encryption parameters appends a new trailer, and keying off the
-        stale first one fails the /U check and marks a readable document
-        undecryptable. Trailers are visited in file order, then
-        xref-stream dicts in scan (file) order — within each pass the
-        last dict carrying the entry is kept. ID[0] is the permanent
-        file identifier (only ID[1] changes across updates), so which
-        trailer supplies it is immaterial; it follows the same rule."""
-        enc = None
-        id0 = b""
-        def take(d: dict) -> None:
-            nonlocal enc, id0
-            if "Encrypt" in d:
-                enc = d["Encrypt"]
-            arr = self.resolve(d.get("ID"))
-            if isinstance(arr, list) and arr and isinstance(arr[0], (bytes, bytearray)):
-                id0 = bytes(arr[0])
+        encryption parameters appends a new trailer (or XRef stream),
+        and keying off the stale first one fails the /U check and marks
+        a readable document undecryptable. Classic trailers AND
+        xref-stream dicts are merged into ONE file-position-ordered pass
+        (a second review cycle caught the two-pass form letting a stale
+        XRef dict from an old revision override a newer classic
+        trailer). ID[0] is the permanent file identifier (only ID[1]
+        changes across updates); later-wins there too, but only a
+        NON-EMPTY value may overwrite — a malformed appended trailer
+        with '/ID [<> ...]' must not clobber the real key salt."""
+        candidates: list[tuple[int, dict]] = []
         for m in re.finditer(rb"\btrailer\b", self.data):
             try:
                 d = _Lexer(self.data, m.end()).next_token()
             except Exception:
                 continue
             if isinstance(d, dict):
-                take(d)
-        for o in self.objects.values():
+                candidates.append((m.start(), d))
+        for num, o in self.objects.items():
             d = o.d if isinstance(o, _Stream) else o
             if isinstance(d, dict) and str(self.resolve(d.get("Type"))) == "XRef":
-                take(d)
+                # position recorded by _scan_objects (post consumed-extent
+                # guard, so stream bodies containing 'N G obj' bytes
+                # cannot inject a fake XRef dict here)
+                candidates.append((self._obj_pos.get(num, 0), d))
+        candidates.sort(key=lambda t: t[0])
+        enc = None
+        id0 = b""
+        for _, d in candidates:
+            if "Encrypt" in d:
+                enc = d["Encrypt"]
+            arr = self.resolve(d.get("ID"))
+            if (
+                isinstance(arr, list)
+                and arr
+                and isinstance(arr[0], (bytes, bytearray))
+                and arr[0]
+            ):
+                id0 = bytes(arr[0])
         return enc, id0
 
     def _setup_decryption(self) -> None:

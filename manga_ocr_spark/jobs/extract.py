@@ -289,6 +289,13 @@ class ExtractJob:
             klass = e.getCondition() if hasattr(e, "getCondition") else None
             if klass == "PATH_NOT_FOUND" or "does not exist" in str(e):
                 return set()
+            if klass == "UNABLE_TO_INFER_SCHEMA" and not self._lineage_has_data_files():
+                # a kill during the very first lineage write can leave an
+                # empty dir (or only _temporary/_SUCCESS) — no data file
+                # means provably nothing committed; but the same error
+                # over a dir that DOES hold data files (corrupt footers)
+                # must still surface
+                return set()
             raise
         rows = (
             lineage.filter(F.col("status") == "ok")
@@ -297,6 +304,22 @@ class ExtractJob:
             .collect()
         )
         return {int(r.partition_id.split("=", 1)[1]) for r in rows}
+
+    def _lineage_has_data_files(self) -> bool:
+        """True if the lineage dir holds any visible data file (Hadoop FS,
+        so it works for any scheme, not just local paths); files starting
+        with '_' or '.' (committer markers, temporaries) don't count."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(f"{self.out_dir}/lineage")
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return False
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                return True
+        return False
 
     def stats_scan(self, buckets: list[int]) -> DataFrame:
         """Pruned re-read of committed extracted/ partitions: partition-

@@ -296,6 +296,12 @@ def minhash_lsh_buckets(
     )
     if max_bucket_size is not None:
         out = _cap_buckets(out, max_bucket_size)
+        if materialize:
+            # the downstream pair self-join re-aliases one side, which
+            # defeats ReuseExchange (same measured fact as the signature
+            # checkpoint above) — without this cut the cap's count
+            # aggregate + semi-join would run once PER BRANCH
+            out = out.localCheckpoint()
     return out
 
 
@@ -702,7 +708,10 @@ def simhash_candidate_pairs(
         F.col(id_col), F.col("simhash"), F.explode(bands_expr).alias("bk")
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     if max_bucket_size is not None:
-        buckets = _cap_buckets(buckets, max_bucket_size)
+        # cut after the cap for the same reason the signature is cut:
+        # the re-aliased self-join would re-run the count+semi-join per
+        # branch
+        buckets = _cap_buckets(buckets, max_bucket_size).localCheckpoint()
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -258,12 +258,56 @@ def lang_id(col: Column) -> Column:
     ascii_only = probe.rlike(_ASCII_ONLY)
     return _lang_from_counts(
         {
-            s: F.when(ascii_only, F.lit(0)).otherwise(script_count(probe, s))
+            # latin exempt from the short-circuit: ASCII text HAS latin
+            # chars, so zeroing it would silently break the lockstep
+            # contract the moment a rule references latin (today none
+            # does and the count is pruned as unused)
+            s: F.when(ascii_only & F.lit(s != "latin"), F.lit(0)).otherwise(
+                script_count(probe, s)
+            )
             for s in SCRIPT_RANGES
         },
         {lang: marker_count(col, ws) for lang, ws in LANG_MARKERS.items()},
         script_probe_len(col),
     )
+
+
+# -- shared layer builders ---------------------------------------------------
+# ONE definition of the probe/short-circuit/count-binding recipe, used by
+# BOTH layered scan forms (lang_id_frame and quality_panel) — a guard or
+# probe tweak cannot silently diverge the two sites.
+
+
+def _probe_layer_cols(text: Column) -> list[Column]:
+    """Layer-0 columns: probe window, its ASCII short-circuit, and its
+    length — non-cheap, multi-referenced aliases, so CollapseProject
+    keeps them bound and the rlike runs once per row."""
+    return [
+        script_probe(text).alias("__probe"),
+        script_probe(text).rlike(_ASCII_ONLY).alias("__ascii"),
+        script_probe_len(text).alias("__plen"),
+    ]
+
+
+def _guarded_script_count_cols(scripts) -> list[Column]:
+    """Guarded per-script count columns over the bound __probe/__ascii.
+    latin is EXEMPT from the short-circuit: ASCII text HAS latin chars —
+    zeroing it would break the generated-oracle lockstep for any
+    consumer that reads the latin count (quality_panel's latin_frac
+    today, any future latin-referencing rule)."""
+    return [
+        F.when(F.col("__ascii") & F.lit(s != "latin"), F.lit(0))
+        .otherwise(script_count(F.col("__probe"), s))
+        .alias(f"__sc_{s}")
+        for s in scripts
+    ]
+
+
+def _marker_count_cols(text: Column) -> list[Column]:
+    return [
+        marker_count(text, ws).alias(f"__mc_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
 
 
 def lang_id_frame(df, text_col: str = "text", id_col: str = "doc_id"):
@@ -284,26 +328,12 @@ def lang_id_frame(df, text_col: str = "text", id_col: str = "doc_id"):
     rule_scripts = {s for _, scripts, _ in SCRIPT_LANG_RULES for s in scripts}
     used = [s for s in SCRIPT_RANGES if s in rule_scripts]
     text = F.col(text_col)
-    s0 = df.select(
-        F.col(id_col),
-        text,
-        script_probe(text).alias("__probe"),
-        script_probe(text).rlike(_ASCII_ONLY).alias("__ascii"),
-        script_probe_len(text).alias("__plen"),
-    )
+    s0 = df.select(F.col(id_col), text, *_probe_layer_cols(text))
     s1 = s0.select(
         F.col(id_col),
         "__plen",
-        *[
-            F.when(F.col("__ascii"), F.lit(0))
-            .otherwise(script_count(F.col("__probe"), s))
-            .alias(f"__sc_{s}")
-            for s in used
-        ],
-        *[
-            marker_count(text, ws).alias(f"__mc_{lang}")
-            for lang, ws in LANG_MARKERS.items()
-        ],
+        *_guarded_script_count_cols(used),
+        *_marker_count_cols(text),
     )
     return s1.select(
         F.col(id_col),
@@ -513,17 +543,10 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     # non-cheap, multi-referenced aliases, so CollapseProject keeps them
     # as bound columns and the rlike runs once per row, not once per
     # script
-    s0 = df.select(
-        F.col(id_col),
-        text,
-        script_probe(text).alias("__probe"),
-        script_probe(text).rlike(_ASCII_ONLY).alias("__ascii"),
-        script_probe_len(text).alias("__plen"),
-    )
-    probe = F.col("__probe")
+    s0 = df.select(F.col(id_col), text, *_probe_layer_cols(text))
     # layer 1: per-row primitives, each computed once per row; script
-    # counts are guarded — a pure-ASCII probe proves them all 0 and the
-    # 10 script regexes are skipped for that row (lazy CASE branches)
+    # counts are guarded — a pure-ASCII probe proves the non-latin ones
+    # 0 and their regexes are skipped for that row (lazy CASE branches)
     s1 = s0.select(
         F.col(id_col),
         F.length(text).alias("__n"),
@@ -531,16 +554,8 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
         F.length(F.trim(text)).alias("__trimlen"),
         tokens(text).alias("__toks"),
         _alnum_count(text).alias("__alnum"),
-        *[
-            F.when(F.col("__ascii") & F.lit(s != "latin"), F.lit(0))
-            .otherwise(script_count(probe, s))
-            .alias(f"__sc_{s}")
-            for s in SCRIPT_RANGES
-        ],
-        *[
-            marker_count(text, ws).alias(f"__mc_{lang}")
-            for lang, ws in LANG_MARKERS.items()
-        ],
+        *_guarded_script_count_cols(SCRIPT_RANGES),
+        *_marker_count_cols(text),
     )
     # layer 2: token-array derivatives (reference __toks several times);
     # the repetition inputs are bound as SORTED HASH arrays so layer 3's

@@ -342,3 +342,45 @@ def test_incremental_update_later_encrypt_dict_wins():
     # sanity: with only the stale trailer the document degrades (the /U
     # check on object 8's wrong entry fails) — proves the fixture bites
     assert extract_pdf_lines(stale_first) is None
+
+
+def test_xref_stream_dict_does_not_override_later_classic_trailer():
+    # second review cycle: the two-pass form visited ALL xref-stream
+    # dicts after ALL classic trailers, so a stale XRef /Encrypt from an
+    # old revision overrode a newer appended classic trailer. The merged
+    # file-position-ordered pass must let the LATER (good) trailer win.
+    from tests.test_pdf import _simple_pdf
+
+    want = extract_pdf_lines(_simple_pdf(CONTENT))
+    pdf = encrypted_pdf(CONTENT, "rc4-128")
+    stale_xref = (
+        b"7 0 obj\n<< /Type /XRef /Encrypt 8 0 R >>\nendobj\n"
+    )
+    bad_encrypt = (
+        b"8 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /O <"
+        + O_ENTRY.hex().encode()
+        + b"> /U <"
+        + (b"\xbb" * 32).hex().encode()
+        + b"> /P -44 >>\nendobj\n"
+    )
+    anchor = b"1 0 obj"
+    assert anchor in pdf
+    # stale XRef dict EARLY in the file; the good classic trailer stays
+    # at the end — later wins by file position
+    patched = pdf.replace(anchor, stale_xref + bad_encrypt + anchor, 1)
+    assert extract_pdf_lines(patched) == want
+
+
+def test_empty_id_in_later_trailer_does_not_clobber_key_salt():
+    # second review cycle: later-wins for /ID must require a NON-EMPTY
+    # value — an appended trailer carrying '/ID [<> <>]' (empty bytes
+    # pass the isinstance check) must not wipe the real key salt.
+    from tests.test_pdf import _simple_pdf
+
+    want = extract_pdf_lines(_simple_pdf(CONTENT))
+    pdf = encrypted_pdf(CONTENT, "rc4-128")
+    update = (
+        b"\ntrailer\n<< /Size 10 /Root 1 0 R /Encrypt 9 0 R "
+        b"/ID [<> <>] >>\nstartxref\n0\n%%EOF\n"
+    )
+    assert extract_pdf_lines(pdf + update) == want

@@ -228,7 +228,12 @@ def test_guarded_candidates_collapse_before_signature_and_join(spark):
     plan = _plan(pairs)
     assert "EvalPython" not in plan  # signatures ran at checkpoint time
     assert "Scan ExistingRDD" in plan
-    assert "LeftSemi" in plan  # the bucket-size cap joins before the pair join
+    # second review cycle: the capped bucket frame must ALSO be cut —
+    # the re-aliased self-join defeats ReuseExchange, so an uncut cap
+    # (count aggregate + semi-join) would run once per branch. Cut, the
+    # pair plan carries no count aggregation at all.
+    assert "partial_count" not in plan
+    assert "LeftSemi" not in plan  # cap ran at checkpoint time too
 
     # lazy form exposes the full lineage: in the printed tree, upstream
     # operators appear BELOW their consumers, so the signature UDF must

@@ -139,3 +139,18 @@ def test_committed_buckets_missing_vs_corrupt_lineage(spark, tmp_path):
     (corrupt / "part-00000.parquet").write_bytes(b"this is not a parquet file")
     with pytest.raises(Exception):
         job.committed_buckets()
+
+
+def test_committed_buckets_empty_lineage_dir_is_fresh_start(spark, tmp_path):
+    # second review cycle: a kill during the very FIRST lineage write can
+    # leave an empty dir (or only committer markers) — provably nothing
+    # committed, must NOT abort the rerun (UNABLE_TO_INFER_SCHEMA), while
+    # a dir with an unreadable DATA file must still raise
+    out = str(tmp_path / "out")
+    lineage = tmp_path / "out" / "lineage"
+    lineage.mkdir(parents=True)
+    job = ExtractJob(spark, out, num_buckets=4)
+    assert job.committed_buckets() == set()  # empty dir
+    (lineage / "_temporary").mkdir()
+    (lineage / "_SUCCESS").write_bytes(b"")
+    assert job.committed_buckets() == set()  # committer markers only
