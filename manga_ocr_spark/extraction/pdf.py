@@ -414,6 +414,11 @@ class _Pdf:
         # file offset of each object's (latest) definition — _find_encrypt
         # merges XRef-stream dicts with classic trailers in file order
         self._obj_pos: dict[int, int] = {}
+        # non-overlapping (start, end) extents of accepted object
+        # definitions (dict + stream body), in file order — _find_encrypt
+        # ignores 'trailer' keyword matches inside them (stream bodies
+        # legally contain those bytes)
+        self._obj_extents: list[tuple[int, int]] = []
         self.undecryptable = False
         self._scan_objects()
         # decryption runs BETWEEN the raw scan and ObjStm unpacking: the
@@ -466,6 +471,7 @@ class _Pdf:
             # later definitions win (incremental-update semantics)
             self.objects[num] = val
             self._obj_pos[num] = m.start()
+            self._obj_extents.append((m.start(), end_pos))
 
     def _find_encrypt(self):
         """(Encrypt value, first-ID bytes) from trailer dicts and
@@ -485,8 +491,23 @@ class _Pdf:
         changes across updates); later-wins there too, but only a
         NON-EMPTY value may overwrite — a malformed appended trailer
         with '/ID [<> ...]' must not clobber the real key salt."""
+        import bisect
+
+        # 'trailer' bytes INSIDE an object extent (stream/string bodies
+        # legally contain them) must not become candidates — under pure
+        # position ordering a junk match after the last real dict would
+        # win (second-review finding; the extents come from
+        # _scan_objects' consumed tracking and are sorted, non-overlapping)
+        ext_starts = [s for s, _ in self._obj_extents]
+
+        def _inside_object(pos: int) -> bool:
+            i = bisect.bisect_right(ext_starts, pos) - 1
+            return i >= 0 and pos < self._obj_extents[i][1]
+
         candidates: list[tuple[int, dict]] = []
         for m in re.finditer(rb"\btrailer\b", self.data):
+            if _inside_object(m.start()):
+                continue
             try:
                 d = _Lexer(self.data, m.end()).next_token()
             except Exception:

@@ -306,18 +306,23 @@ class ExtractJob:
         return {int(r.partition_id.split("=", 1)[1]) for r in rows}
 
     def _lineage_has_data_files(self) -> bool:
-        """True if the lineage dir holds any visible data file (Hadoop FS,
-        so it works for any scheme, not just local paths); files starting
-        with '_' or '.' (committer markers, temporaries) don't count."""
-        jvm = self.spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(f"{self.out_dir}/lineage")
-        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        """True if the lineage dir holds any VISIBLE data file (Hadoop FS,
+        so it works for any scheme). Visibility mirrors Spark's
+        InMemoryFileIndex rule: a file is hidden if ANY path segment below
+        the lineage root starts with '_' or '.' — a part file inside
+        _temporary/ (an in-flight committer task the kill stranded) is
+        invisible to the reader and must not count as committed data."""
+        from manga_ocr_spark.jobs.upsert import _hadoop_fs
+
+        fs, path = _hadoop_fs(self.spark, f"{self.out_dir}/lineage")
         if not fs.exists(path):
             return False
+        base = fs.makeQualified(path).toString().rstrip("/") + "/"
         it = fs.listFiles(path, True)
         while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith("_") and not name.startswith("."):
+            full = it.next().getPath().toString()
+            rel = full[len(base):] if full.startswith(base) else full.rsplit("/", 1)[-1]
+            if not any(seg.startswith(("_", ".")) for seg in rel.split("/")):
                 return True
         return False
 

@@ -384,3 +384,27 @@ def test_empty_id_in_later_trailer_does_not_clobber_key_salt():
         b"/ID [<> <>] >>\nstartxref\n0\n%%EOF\n"
     )
     assert extract_pdf_lines(pdf + update) == want
+
+
+def test_junk_trailer_inside_stream_body_cannot_win_position_ordering():
+    # second review cycle, round 2: a 'trailer << ... >>' byte sequence
+    # INSIDE a stream body, sitting at a later file position than every
+    # real dict, must not clobber /Encrypt under the position-ordered
+    # merge — object extents from _scan_objects exclude it.
+    from tests.test_pdf import _simple_pdf
+
+    want = extract_pdf_lines(_simple_pdf(CONTENT))
+    pdf = encrypted_pdf(CONTENT, "rc4-128")
+    bad_encrypt = (
+        b"8 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /O <"
+        + O_ENTRY.hex().encode()
+        + b"> /U <" + (b"\xcc" * 32).hex().encode() + b"> /P -44 >>\nendobj\n"
+    )
+    junk_body = b"\ntrailer\n<< /Encrypt 8 0 R >>\n"
+    junk_stream = (
+        b"10 0 obj\n<< /Length " + str(len(junk_body)).encode() + b" >>\nstream"
+        + junk_body + b"endstream\nendobj\n"
+    )
+    # junk-bearing stream object appended LAST — latest file position
+    patched = pdf + b"\n" + bad_encrypt + junk_stream
+    assert extract_pdf_lines(patched) == want

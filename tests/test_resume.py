@@ -154,3 +154,24 @@ def test_committed_buckets_empty_lineage_dir_is_fresh_start(spark, tmp_path):
     (lineage / "_temporary").mkdir()
     (lineage / "_SUCCESS").write_bytes(b"")
     assert job.committed_buckets() == set()  # committer markers only
+
+
+def test_committed_buckets_ignores_inflight_committer_files(spark, tmp_path):
+    # second review cycle (repro'd): a kill during the first lineage write
+    # leaves lineage/_temporary/.../part-*.parquet — the file is invisible
+    # to Spark's reader (hidden ancestor dir), so it must not count as
+    # committed data; a VISIBLE unreadable part file must still raise.
+    import pytest
+
+    out = str(tmp_path / "out")
+    attempt = tmp_path / "out" / "lineage" / "_temporary" / "0" / "_temporary" / "attempt_1"
+    attempt.mkdir(parents=True)
+    (attempt / "part-00000-abc.snappy.parquet").write_bytes(b"in-flight bytes")
+    job = ExtractJob(spark, out, num_buckets=4)
+    assert job.committed_buckets() == set()
+
+    (tmp_path / "out" / "lineage" / "part-00001-def.snappy.parquet").write_bytes(
+        b"visible but corrupt"
+    )
+    with pytest.raises(Exception):
+        job.committed_buckets()
