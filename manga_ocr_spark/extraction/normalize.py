@@ -61,8 +61,34 @@ def normalize_block(s: str) -> str:
         # byte-identical fast path: NFC, width-fold, and the U+2026/U+30FB
         # rules are all identity on pure-ASCII text (CPython's compact str
         # caches the ascii flag, so the check is O(1)); only the whitespace
-        # collapse and the ASCII dot-run rule can change anything
-        s = " ".join(s.split())
+        # collapse and the ASCII dot-run rule can change anything.
+        # The collapse itself is guarded: " ".join(s.split()) is the
+        # identity on ASCII text unless it has a leading/trailing space,
+        # a double space, or any non-space whitespace char — each check
+        # is one C-speed memchr scan (~1 µs/10 KB) vs ~65 µs/10 KB for
+        # split+join, and DOM-scanner blocks arrive already collapsed
+        # (0/418 needed it on the bench corpus; measured 1.9x on the
+        # whole extraction core). NOT a regex guard: an anchored
+        # alternation pattern scans per-position and measured SLOWER
+        # than the split it replaced.
+        # str.split()'s ASCII whitespace is \t\n\x0b\x0c\r space PLUS the
+        # C0 separators \x1c-\x1f (the fuzz pin caught a first version
+        # missing those)
+        if (
+            "  " in s
+            or "\n" in s
+            or "\t" in s
+            or "\r" in s
+            or "\x0b" in s
+            or "\x0c" in s
+            or "\x1c" in s
+            or "\x1d" in s
+            or "\x1e" in s
+            or "\x1f" in s
+            or s[:1] == " "
+            or s[-1:] == " "
+        ):
+            s = " ".join(s.split())
         if ".." in s:
             s = _DOT_RUN.sub("...", s)
         return s

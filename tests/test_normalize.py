@@ -136,3 +136,35 @@ def test_decode_html_third_review_regressions():
     assert out == "ab"
     out_be = decode_html(b"\xfe\xff" + "cd".encode("utf-16-be"))
     assert out_be == "cd"
+
+
+def test_ascii_collapse_guard_exactness():
+    # r5 fast path: " ".join(s.split()) must run EXACTLY when it would
+    # change an ASCII string — enumerate every guard condition plus
+    # already-collapsed forms the guard skips. Equivalence oracle: the
+    # unguarded collapse itself.
+    from manga_ocr_spark.extraction.normalize import normalize_block
+
+    cases = [
+        "", " ", "  ", "a", "a b", " a", "a ", "a  b", "a\tb", "a\nb",
+        "a\rb", "a\x0bb", "a\x0cb", "\ta", "a\n", "a b c d", "a.b",
+        "a .. b", "one  two\tthree \n", ". . ..", "..", "... .. .",
+        "word " * 5, ("x y " * 100).strip(),
+    ]
+    for s in cases:
+        want = " ".join(s.split())
+        if ".." in want:
+            import re
+            want = re.sub(r"[・.]{2,}", "...", want)
+        assert normalize_block(s) == want, repr(s)
+        # idempotent (the repo-wide pinned property)
+        assert normalize_block(normalize_block(s)) == normalize_block(s), repr(s)
+
+
+def test_ascii_collapse_guard_covers_c0_separators():
+    # str.split() whitespace includes \x1c-\x1f — the guard must fire
+    from manga_ocr_spark.extraction.normalize import normalize_block
+
+    for ch in ("\x1c", "\x1d", "\x1e", "\x1f"):
+        assert normalize_block(ch) == ""
+        assert normalize_block(f"a{ch}b") == "a b"
