@@ -134,11 +134,16 @@ _ASCII_WS = " \t\n\r\x0b\x0c"
 
 def _ws_free_len(s: str) -> int:
     # equivalent to sum(len(p) for p in s.split()) but C-speed. ASCII fast
-    # path (O(1) isascii flag): subtract per-char counts of the exact six
-    # chars str.split() treats as whitespace in ASCII; general path joins.
+    # path (O(1) isascii flag): subtract per-char counts of the six common
+    # chars str.split() treats as whitespace in ASCII; the RARE C0
+    # separators \x1c-\x1f (also split() whitespace — a review pass caught
+    # the fast path ignoring them) divert to the exact join path instead
+    # of paying four more counts on every call; general path joins.
     if not s:
         return 0
     if s.isascii():
+        if "\x1c" in s or "\x1d" in s or "\x1e" in s or "\x1f" in s:
+            return len("".join(s.split()))
         n = len(s)
         for ch in _ASCII_WS:
             n -= s.count(ch)

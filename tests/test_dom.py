@@ -301,3 +301,18 @@ def test_fast_scanner_matches_stdlib_on_100kb_monster():
     assert fast == _via_std_sig(t)
     assert len(fast) > 2000
     assert fast_sec < 2.0  # linear-time sanity, generous for a shared host
+
+
+def test_ws_free_len_matches_split_semantics_exactly():
+    # _ws_free_len must equal sum(len(p) for p in s.split()) on EVERY
+    # input — including the C0 separators \x1c-\x1f str.split() treats
+    # as whitespace (a review pass caught the ASCII fast path ignoring
+    # them) and non-ASCII unicode whitespace.
+    from manga_ocr_spark.extraction.dom import _ws_free_len
+
+    cases = [
+        "", " ", "a b", "a\x1cb", "\x1d", "a\x1e\x1f b", "a\tb\nc",
+        "x\x0by\x0cz", "日本 語　テスト", "a\xa0b", "mixed \x1c ascii",
+    ]
+    for s in cases:
+        assert _ws_free_len(s) == sum(len(p) for p in s.split()), repr(s)
