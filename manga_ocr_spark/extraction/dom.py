@@ -129,7 +129,12 @@ class Block:
     keep: bool = False
 
 
-_ASCII_WS = " \t\n\r\x0b\x0c"
+# ONE definition of str.split()'s ASCII whitespace, shared with the
+# normalize_block collapse guard (normalize.py derives it from CPython's
+# own behavior via test)
+from manga_ocr_spark.extraction.normalize import SPLIT_WS_COMMON, SPLIT_WS_RARE
+
+_ASCII_WS = SPLIT_WS_COMMON
 
 
 def _ws_free_len(s: str) -> int:
@@ -142,7 +147,7 @@ def _ws_free_len(s: str) -> int:
     if not s:
         return 0
     if s.isascii():
-        if "\x1c" in s or "\x1d" in s or "\x1e" in s or "\x1f" in s:
+        if any(c in s for c in SPLIT_WS_RARE):
             return len("".join(s.split()))
         n = len(s)
         for ch in _ASCII_WS:

@@ -55,6 +55,21 @@ def fold_width(s: str) -> str:
     return s.translate(_WIDTH_FOLD)
 
 
+# The EXACT set str.split() treats as whitespace on ASCII text, split by
+# frequency: the six common chars vs the C0 separators nobody's HTML
+# contains. ONE definition — normalize_block's collapse guard and
+# dom._ws_free_len's fast path must agree on this set (this round's C0
+# bug was exactly one hand-copied list drifting); a test derives the
+# union from CPython's own split() behavior over the full ASCII range.
+SPLIT_WS_COMMON = " \t\n\r\x0b\x0c"
+SPLIT_WS_RARE = "\x1c\x1d\x1e\x1f"
+# collapse-guard probes: any of these substrings (or an edge space)
+# means " ".join(s.split()) is not the identity
+_COLLAPSE_PROBES = ("  ",) + tuple(SPLIT_WS_COMMON.replace(" ", "")) + tuple(
+    SPLIT_WS_RARE
+)
+
+
 def normalize_block(s: str) -> str:
     """Normalize one text block; deterministic and idempotent."""
     if s.isascii():
@@ -71,22 +86,13 @@ def normalize_block(s: str) -> str:
         # whole extraction core). NOT a regex guard: an anchored
         # alternation pattern scans per-position and measured SLOWER
         # than the split it replaced.
-        # str.split()'s ASCII whitespace is \t\n\x0b\x0c\r space PLUS the
-        # C0 separators \x1c-\x1f (the fuzz pin caught a first version
-        # missing those)
+        # probes cover str.split()'s FULL ASCII whitespace set, including
+        # the C0 separators \x1c-\x1f (the fuzz pin caught a first
+        # version missing those) — see _COLLAPSE_PROBES
         if (
-            "  " in s
-            or "\n" in s
-            or "\t" in s
-            or "\r" in s
-            or "\x0b" in s
-            or "\x0c" in s
-            or "\x1c" in s
-            or "\x1d" in s
-            or "\x1e" in s
-            or "\x1f" in s
-            or s[:1] == " "
+            s[:1] == " "
             or s[-1:] == " "
+            or any(t in s for t in _COLLAPSE_PROBES)
         ):
             s = " ".join(s.split())
         if ".." in s:

@@ -168,3 +168,13 @@ def test_ascii_collapse_guard_covers_c0_separators():
     for ch in ("\x1c", "\x1d", "\x1e", "\x1f"):
         assert normalize_block(ch) == ""
         assert normalize_block(f"a{ch}b") == "a b"
+
+
+def test_split_ws_set_derived_from_cpython_behavior():
+    # the shared whitespace set must equal EXACTLY the ASCII chars
+    # CPython's str.split() treats as whitespace — derived, not assumed
+    from manga_ocr_spark.extraction.normalize import SPLIT_WS_COMMON, SPLIT_WS_RARE
+
+    actual = {c for c in map(chr, range(128)) if not c.split()}
+    assert set(SPLIT_WS_COMMON) | set(SPLIT_WS_RARE) == actual
+    assert not set(SPLIT_WS_COMMON) & set(SPLIT_WS_RARE)
