@@ -147,8 +147,11 @@ def _ws_free_len(s: str) -> int:
     if not s:
         return 0
     if s.isascii():
-        if any(c in s for c in SPLIT_WS_RARE):
-            return len("".join(s.split()))
+        # plain loop, not any(genexpr) — the generator frame costs more
+        # than the four memchr scans (same measurement as normalize.py)
+        for c in SPLIT_WS_RARE:
+            if c in s:
+                return len("".join(s.split()))
         n = len(s)
         for ch in _ASCII_WS:
             n -= s.count(ch)
