@@ -367,13 +367,20 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-dup candidates -> exact Hamming verify (<=3).
-    The synthetic dup set guarantees hamming-0 pairs (exact copies); the
-    oracle recomputes signature, banding, and bit_count(xor) in SQL."""
+    """GUARDED banded SimHash near-dup candidates (r6): fused
+    fingerprint+signature pass -> collapse to min-id reps -> capped
+    banding -> rep pairs with exact Hamming verify (<=3) -> member-level
+    expansion (within-group pairs are hamming 0; cross pairs inherit the
+    rep distance exactly). The planted exact copies (doc_id>=100000)
+    exercise the collapse; the oracle mirrors collapse+cap+expand in SQL
+    so the driver value-checks the production path end-to-end."""
     d = _docs_with_dups(spark, sf_dir).filter(
         (F.col("doc_id") < 100) | (F.col("doc_id") >= 100000)
     )
-    return D.simhash_candidate_pairs(d, bands=4, max_hamming=3)
+    pairs, rep_map = D.simhash_guarded_candidates(
+        d, bands=4, max_hamming=3, max_bucket_size=D.LSH_MAX_BUCKET
+    )
+    return D.expand_rep_pairs(pairs, rep_map, carry={"hamming": F.lit(0)})
 
 
 def _q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,26 +466,19 @@ def _q_neardedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     member is an exact duplicate of its rep, hence always dropped; a rep
     is dropped iff its cluster has a smaller rep). Equivalent keep-set to
     clustering all members directly — identical content shares every
-    band, every verified edge, and the cluster minimum."""
+    band, every verified edge, and the cluster minimum.
+
+    Runs the SAME composition as the production job
+    (jobs/neardedup.py::neardedup_keep_ids, whose metrics sink consumes
+    the guard's capped-drop side channel) — so the driver's value check
+    covers the job's dataflow, not a parallel re-implementation."""
+    from manga_ocr_spark.jobs.neardedup import neardedup_keep_ids
+
     d = _t(spark, sf_dir, "documents")
-    cand, rep_map = D.lsh_guarded_candidates(d, max_bucket_size=D.LSH_MAX_BUCKET)
-    g = d.select(F.col("doc_id"), D.char_shingles(F.col("text")).alias("grams"))
-    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
-    verified = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn("jac", inter / F.greatest(union, F.lit(1)))
-        .filter(F.col("jac") >= 0.9)
-        .select("id_a", "id_b")
+    keep, _rep_map, _dropped = neardedup_keep_ids(
+        d, jaccard_threshold=0.9, max_bucket_size=D.LSH_MAX_BUCKET
     )
-    clusters = D.dup_clusters(verified)
-    drop_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    drop_members = rep_map.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
-    drop = drop_reps.unionByName(drop_members)
-    return d.join(drop, "doc_id", "left_anti").select("doc_id")
+    return keep
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,24 +1082,46 @@ from repmap a join repmap b on a.rep = b.rep and a.doc_id < b.doc_id"""
         _simhash_sql_ctes("select doc_id, text from documents where doc_id < 100")
         + "\nselect doc_id, simhash from sim"
     )
-    sim_pairs = (
-        _simhash_sql_ctes(
-            """select doc_id, text from documents where doc_id < 100
+    # GUARDED-path mirror (operators/dedup.py::simhash_guarded_candidates):
+    # the same collapse+cap+expand as the MinHash mirror above, with the
+    # SimHash banding in the middle. Within-group pairs are hamming 0
+    # (identical content); cross pairs inherit the rep pair's distance
+    # (identical text -> identical signature, so this is exact).
+    sim_base_select = """select doc_id, text from documents where doc_id < 100
   union all
   select doc_id + 100000 as doc_id, text from documents where doc_id < 50"""
-        )
-        + """
+    sim_rep_base = f"""select d.doc_id, d.text
+  from ({sim_base_select}) d
+  join (select doc_id, min(doc_id) over (partition by {mh_fp}) as rep
+        from ({sim_base_select})) r
+    on r.doc_id = d.doc_id and r.rep = d.doc_id"""
+    sim_pairs = (
+        _simhash_sql_ctes(sim_rep_base)
+        + f"""
 , sbuckets as (
   select doc_id, simhash, band,
          (s >> ((3 - band) * 16)) & 65535 as band_key
   from sim, range(0, 4) bb(band)
-)
-select distinct a.doc_id as id_a, b.doc_id as id_b,
-       bit_count(xor(a.simhash, b.simhash))::int as hamming
-from sbuckets a
-join sbuckets b
-  on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
-where bit_count(xor(a.simhash, b.simhash)) <= 3"""
+), sbsz as (select band, band_key, count(*) as n from sbuckets group by band, band_key)
+, skept as (select b.doc_id, b.simhash, b.band, b.band_key
+            from sbuckets b join sbsz using (band, band_key)
+            where sbsz.n <= {D.LSH_MAX_BUCKET})
+, srep_pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b,
+         bit_count(xor(a.simhash, b.simhash))::int as hamming
+  from skept a join skept b
+    on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
+  where bit_count(xor(a.simhash, b.simhash)) <= 3)
+, srepmap as (select doc_id, min(doc_id) over (partition by {mh_fp}) as rep
+              from ({sim_base_select}))
+select least(ma.doc_id, mb.doc_id) as id_a, greatest(ma.doc_id, mb.doc_id) as id_b,
+       p.hamming
+from srep_pairs p
+join srepmap ma on ma.rep = p.id_a
+join srepmap mb on mb.rep = p.id_b
+union
+select a.doc_id as id_a, b.doc_id as id_b, 0 as hamming
+from srepmap a join srepmap b on a.rep = b.rep and a.doc_id < b.doc_id"""
     )
 
     return {

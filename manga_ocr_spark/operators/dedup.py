@@ -227,16 +227,79 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
 LSH_MAX_BUCKET = 64
 
 
+# Sentinel fingerprint for NULL-text rows. fingerprint() is md5 of the
+# text, so NULL text -> NULL -> null-rejecting joins would silently drop
+# those rows from rep_map (they'd vanish from the fold-back). Coalescing
+# to a non-hex sentinel makes all content-less rows ONE exact-dup group —
+# the same grouping the SQL oracle's `partition by md5(...)` applies
+# (window PARTITION BY puts NULL keys in one partition), and consistent
+# with the unguarded tier, where every NULL/empty doc shares the
+# empty-gram signature and therefore every band.
+_NULL_FP = "__null__"
+
+
+def _fingerprint_nn(col: Column) -> Column:
+    return F.coalesce(fingerprint(col), F.lit(_NULL_FP))
+
+
 def exact_rep_map(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, rep_id) where rep_id = min id among rows with identical
-    content fingerprint — the exact-duplicate collapse that runs BEFORE
-    MinHash in the guarded tier, so m byte-identical docs contribute one
-    signature (and zero intra-group band pairs) instead of m^2 pairs per
-    band. Same shuffle profile as :func:`exact_dedup` (fingerprint
-    groupBy with partial_min + one fingerprint-keyed join back)."""
-    w = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    content fingerprint — the exact-duplicate collapse of the guarded
+    near-dup tiers, which keeps m byte-identical docs from contributing
+    m^2 candidate pairs per band. NULL-text rows form one group via a
+    sentinel fingerprint (they'd otherwise vanish through the
+    null-rejecting join). Same shuffle profile as :func:`exact_dedup`
+    (fingerprint groupBy with partial_min + one fingerprint-keyed join
+    back)."""
+    w = df.select(F.col(id_col), _fingerprint_nn(F.col(text_col)).alias("fingerprint"))
     reps = w.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
     return w.join(reps, "fingerprint").select(id_col, "rep_id")
+
+
+# -- fused guarded-tier skeleton (shared by MinHash and SimHash) -------------
+#
+# r6 shape: ONE pass over the text computes the exact-dup fingerprint AND
+# the near-dup signature side by side (the signature UDF already scans
+# every byte; the JVM md5 rides along for free), materialized once. Every
+# downstream consumer — rep_map, the rep filter, banding, the cap — derives
+# from that narrow (id, fingerprint, sig) frame, so:
+#   * the text is scanned exactly once (the r5 form scanned it twice:
+#     fingerprint pass + signature pass after the rep semi-join);
+#   * the text NEVER shuffles — the r5 rep semi-join shipped full text
+#     rows to co-locate them with the rep-id list, which at 100 TB is the
+#     dominant cost; here only fingerprints/signatures move;
+#   * one localCheckpoint job replaces the r5 rep_map + signature pair.
+# Cost accepted: duplicate members get signed too (the r5 form signed reps
+# only). The per-batch gram/vector caches make an identical doc's
+# signature a cache-hit re-min, and at any realistic dup fraction that is
+# cheaper than re-scanning and shuffling the text.
+
+
+def _fused_base(
+    df: DataFrame, text_col: str, id_col: str, sig: Column, sig_name: str, materialize: bool
+) -> DataFrame:
+    base = df.select(
+        F.col(id_col),
+        _fingerprint_nn(F.col(text_col)).alias("fingerprint"),
+        sig.alias(sig_name),
+    )
+    # the ONLY job that touches text; everything downstream reads this
+    return base.localCheckpoint() if materialize else base
+
+
+def _rep_map_from_base(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, rep_id) derived lazily from the fused base — recomputing it is
+    a shuffle over narrow checkpointed rows, so consumers just re-derive
+    instead of holding another checkpoint."""
+    reps = base.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
+    return base.select(id_col, "fingerprint").join(reps, "fingerprint").select(id_col, "rep_id")
+
+
+def _rep_rows(base: DataFrame, id_col: str) -> DataFrame:
+    """Base rows whose id is the min of their fingerprint group (the
+    representatives), signature column included."""
+    rep_ids = base.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return base.join(rep_ids.select(id_col), id_col, "left_semi")
 
 
 def minhash_lsh_buckets(
@@ -268,7 +331,6 @@ def minhash_lsh_buckets(
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    rows = num_hashes // bands
     # name the UDF output first — a Python UDF cannot be referenced
     # inside a higher-order-function lambda (UNSUPPORTED_FEATURE), and a
     # named column also guarantees the signature is computed exactly once
@@ -277,6 +339,24 @@ def minhash_lsh_buckets(
     )
     if materialize:
         sig = sig.localCheckpoint()
+    out = _minhash_band_explode(sig, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        out = _cap_buckets(out, max_bucket_size)
+        if materialize:
+            # the downstream pair self-join re-aliases one side, which
+            # defeats ReuseExchange (same measured fact as the signature
+            # checkpoint above) — without this cut the cap's count
+            # aggregate + semi-join would run once PER BRANCH
+            out = out.localCheckpoint()
+    return out
+
+
+def _minhash_band_explode(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, sig) -> (id, band, band_key): md5 over each of ``bands`` equal
+    signature slices. Pure codegen expressions — no UDF, no shuffle."""
+    rows = num_hashes // bands
     bands_expr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -291,18 +371,9 @@ def minhash_lsh_buckets(
             ).alias("band_key"),
         ),
     )
-    out = sig.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    if max_bucket_size is not None:
-        out = _cap_buckets(out, max_bucket_size)
-        if materialize:
-            # the downstream pair self-join re-aliases one side, which
-            # defeats ReuseExchange (same measured fact as the signature
-            # checkpoint above) — without this cut the cap's count
-            # aggregate + semi-join would run once PER BRANCH
-            out = out.localCheckpoint()
-    return out
 
 
 def _cap_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
@@ -339,9 +410,11 @@ def lsh_guarded_candidates(
     max_bucket_size: int = LSH_MAX_BUCKET,
     materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """The production near-dup candidate generator: exact-fingerprint
-    collapse -> MinHash signatures over REPRESENTATIVES only -> banding
-    with a per-bucket size cap -> candidate pairs among representatives.
+    """The production near-dup candidate generator: one fused pass
+    computes the exact-dup fingerprint AND the MinHash signature (see the
+    skeleton notes above), then banding runs over each fingerprint
+    group's min-id REPRESENTATIVE only, with a per-bucket size cap,
+    yielding candidate pairs among representatives.
 
     Returns ``(rep_pairs, rep_map)`` — pairs are between representative
     ids; ``rep_map`` (id, rep_id) folds every member back onto its
@@ -350,38 +423,63 @@ def lsh_guarded_candidates(
     (identical content IS the strongest near-dup relation). For
     small-scale verification/oracles, :func:`expand_rep_pairs`
     reconstructs the exact member-level pair set of the unguarded form.
+    For the capped-drop metrics side channel use
+    :func:`lsh_guarded_with_drops`.
 
     Why this shape at 10^12 docs: byte-identical shells (empty pages,
     parked domains, error boilerplate) are the worst skew — m copies
     share EVERY band key, making one bucket's pair expansion O(m^2) on a
-    single reducer key. Collapsing first makes them one signature; the
+    single reducer key. Banding reps only makes them one bucket row; the
     bucket cap bounds whatever degenerate near-identical (not identical)
     clusters remain. Reference analogue: the content-dedup semantics of
     run.py:29-51 applied at scale."""
-    rep_map = exact_rep_map(df, text_col, id_col)
+    pairs, rep_map, _ = lsh_guarded_with_drops(
+        df, text_col, id_col, num_hashes, bands, max_bucket_size, materialize
+    )
+    return pairs, rep_map
+
+
+def lsh_guarded_with_drops(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`lsh_guarded_candidates` plus the guard's drop side channel:
+    returns ``(rep_pairs, rep_map, dropped)`` where ``dropped`` is the
+    (band, band_key, n) frame of buckets the cap removed (empty when
+    nothing was capped). Jobs MUST aggregate ``dropped`` into their
+    metrics sink (see jobs/neardedup.py) — a capped mega-cluster is lost
+    recall, and lost recall has to be a counter, never silence. Derived
+    lazily from the fused base, so observing it re-scans only narrow
+    checkpointed rows."""
+    base = _fused_base(
+        df, text_col, id_col, minhash_signature(F.col(text_col), num_hashes), "sig", materialize
+    )
+    rep_map = _rep_map_from_base(base, id_col)
+    raw_buckets = _minhash_band_explode(_rep_rows(base, id_col), id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(raw_buckets, max_bucket_size)
+        dropped = oversized_buckets(raw_buckets, max_bucket_size)
+    else:
+        buckets = raw_buckets
+        dropped = oversized_buckets(raw_buckets.limit(0), 0)
     if materialize:
-        # reused by three consumers (reps filter, downstream fold-back,
-        # possibly expand) and derived through a shuffle — cut once
-        rep_map = rep_map.localCheckpoint()
-    reps = df.join(
-        rep_map.filter(F.col(id_col) == F.col("rep_id")).select(id_col),
-        id_col,
-        "left_semi",
-    )
-    buckets = minhash_lsh_buckets(
-        reps,
-        text_col,
-        id_col,
-        num_hashes,
-        bands,
-        materialize=materialize,
-        max_bucket_size=max_bucket_size,
-    )
-    return minhash_candidate_pairs(buckets, id_col), rep_map
+        # cut before the re-aliased self-join: without this the rep
+        # groupBy/semi-join + banding + cap would run once PER BRANCH
+        # (re-aliasing defeats ReuseExchange — measured repo invariant)
+        buckets = buckets.localCheckpoint()
+    return minhash_candidate_pairs(buckets, id_col), rep_map, dropped
 
 
 def expand_rep_pairs(
-    rep_pairs: DataFrame, rep_map: DataFrame, id_col: str = "doc_id"
+    rep_pairs: DataFrame,
+    rep_map: DataFrame,
+    id_col: str = "doc_id",
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Member-level (id_a < id_b) pairs from representative pairs: every
     cross-group pair between members of two paired rep groups, plus every
@@ -390,14 +488,26 @@ def expand_rep_pairs(
     share all band keys with their rep), which is what lets the driver
     oracle keep checking the guarded path value-for-value. Verification/
     small-set form: its output is inherently quadratic in group size —
-    at scale consume (rep_pairs, rep_map) directly."""
+    at scale consume (rep_pairs, rep_map) directly.
+
+    ``carry`` names extra ``rep_pairs`` columns to keep on the expanded
+    pairs (cross-group pairs inherit the rep pair's value — exact,
+    because identical content has an identical signature); the mapped
+    Column is the value a within-group pair gets, e.g.
+    ``{"hamming": F.lit(0)}`` for SimHash (identical docs are distance
+    0)."""
+    carry = carry or {}
     a = rep_map.alias("a")
     b = rep_map.alias("b")
     within = a.join(
         b,
         (F.col("a.rep_id") == F.col("b.rep_id"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[v.alias(k) for k, v in carry.items()],
+    )
     ma = rep_map.select(F.col("rep_id").alias("id_a"), F.col(id_col).alias("__ma"))
     mb = rep_map.select(F.col("rep_id").alias("id_b"), F.col(id_col).alias("__mb"))
     cross = (
@@ -406,6 +516,7 @@ def expand_rep_pairs(
         .select(
             F.least("__ma", "__mb").alias("id_a"),
             F.greatest("__ma", "__mb").alias("id_b"),
+            *[F.col(k) for k in carry],
         )
     )
     # no distinct needed — saves a full shuffle over the (quadratic)
@@ -608,8 +719,8 @@ def simhash_py(text: str | None) -> int:
     return int(np.int64(sig))
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc via an Arrow-batched pandas UDF.
+def simhash_col(col: Column) -> Column:
+    """64-bit SimHash as a Column via an Arrow-batched pandas UDF.
 
     Vectorized across the WHOLE batch: tokens from all docs are flattened
     once, md5 is computed only per *distinct* token (a worker-lifetime
@@ -652,47 +763,19 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         sigs = np.packbits(bits, axis=1).view(">u8").astype(np.uint64).reshape(n)
         return pd.Series(sigs.view(np.int64))
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    return _simhash(col)
 
 
-def simhash_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bands: int = 4,
-    max_hamming: int = 3,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """SimHash near-dup pairs via banding: split the 64-bit signature into
-    ``bands`` equal bit-slices; docs sharing ANY slice are candidates;
-    exact Hamming distance (JVM ``bit_count(xor)``) verifies
-    ``<= max_hamming``.
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) frame form of :func:`simhash_col`."""
+    return df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
 
-    Pigeonhole guarantee: a pair with hamming < ``bands`` differs in fewer
-    bits than there are slices, so at least one slice is identical — the
-    banding finds EVERY such pair without an all-pairs join. The only
-    shuffle is the (band, band_key) self-join on small int keys; this is
-    the same candidate->verify shape as MinHash LSH -> Jaccard, trading
-    shingling cost for a cheaper (token-level) signature.
 
-    ``max_bucket_size`` applies the same hot-bucket guard as the MinHash
-    tier (:data:`LSH_MAX_BUCKET`): band groups larger than the cap are
-    dropped before the self-join. For the full guarded posture compose
-    with :func:`exact_rep_map` / :func:`expand_rep_pairs` exactly as
-    :func:`lsh_guarded_candidates` does for MinHash — identical text
-    yields an identical SimHash, so the collapse argument carries over
-    unchanged.
-
-    Output: (id_a, id_b, hamming) with id_a < id_b.
-    """
-    if 64 % bands != 0:
-        raise ValueError(f"bands={bands} must divide 64")
+def _simhash_band_explode(sig: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, simhash) -> (id, simhash, band, band_key): ``bands`` equal
+    bit-slices of the signature, band 0 the MOST significant. Bands are
+    unrolled in Python — shift amounts must be literals."""
     width = 64 // bands
-    # materialized for the same reason as minhash_lsh_buckets: the
-    # self-join would otherwise run the signature UDF once per branch
-    sig = simhash64(df, text_col, id_col).localCheckpoint()
-    # bands unrolled in Python (shift amounts must be literals); band 0 is
-    # the MOST significant slice
     bands_expr = F.array(
         *[
             F.struct(
@@ -704,14 +787,18 @@ def simhash_candidate_pairs(
             for i in range(bands)
         ]
     )
-    buckets = sig.select(
+    return sig.select(
         F.col(id_col), F.col("simhash"), F.explode(bands_expr).alias("bk")
-    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    if max_bucket_size is not None:
-        # cut after the cap for the same reason the signature is cut:
-        # the re-aliased self-join would re-run the count+semi-join per
-        # branch
-        buckets = _cap_buckets(buckets, max_bucket_size).localCheckpoint()
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def _simhash_pairs_from_buckets(
+    buckets: DataFrame, id_col: str, max_hamming: int
+) -> DataFrame:
+    """Bucket self-join -> distinct (id_a, id_b, hamming) pairs with
+    hamming <= max_hamming, via JVM ``bit_count(xor)``."""
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -729,3 +816,85 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_guarded_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The SimHash tier with the full guarded posture of
+    :func:`lsh_guarded_candidates`: one fused pass computes the exact-dup
+    fingerprint AND the SimHash signature, banding runs over min-id
+    representatives only, hot buckets are capped, and the returned
+    ``(rep_pairs, rep_map)`` folds members back through
+    :func:`expand_rep_pairs` (pass ``carry={"hamming": F.lit(0)}`` —
+    identical content is Hamming distance 0, and a cross-group member
+    pair's distance equals its rep pair's exactly, because identical text
+    yields an identical signature). Same skeleton, same scale argument:
+    byte-identical shells become one bucket row instead of an O(m^2)
+    reducer key, and the text is scanned once and never shuffled."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    base = _fused_base(df, text_col, id_col, simhash_col(F.col(text_col)), "simhash", materialize)
+    rep_map = _rep_map_from_base(base, id_col)
+    buckets = _simhash_band_explode(_rep_rows(base, id_col), id_col, bands)
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, max_bucket_size)
+    if materialize:
+        # cut before the re-aliased self-join (same reason as the MinHash
+        # tier: ReuseExchange does not survive re-aliasing)
+        buckets = buckets.localCheckpoint()
+    return _simhash_pairs_from_buckets(buckets, id_col, max_hamming), rep_map
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """SimHash near-dup pairs via banding: split the 64-bit signature into
+    ``bands`` equal bit-slices; docs sharing ANY slice are candidates;
+    exact Hamming distance (JVM ``bit_count(xor)``) verifies
+    ``<= max_hamming``.
+
+    Pigeonhole guarantee: a pair with hamming < ``bands`` differs in fewer
+    bits than there are slices, so at least one slice is identical — the
+    banding finds EVERY such pair without an all-pairs join. The only
+    shuffle is the (band, band_key) self-join on small int keys; this is
+    the same candidate->verify shape as MinHash LSH -> Jaccard, trading
+    shingling cost for a cheaper (token-level) signature.
+
+    ``max_bucket_size`` applies the same hot-bucket guard as the MinHash
+    tier (:data:`LSH_MAX_BUCKET`): band groups larger than the cap are
+    dropped before the self-join. This is the UNGUARDED/direct form (no
+    exact collapse); the production path with the full guarded posture is
+    :func:`simhash_guarded_candidates`. ``materialize`` gates the
+    localCheckpoints (lazy plans stay inspectable), at the cost of the
+    signature UDF running once per self-join branch.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    sig = simhash64(df, text_col, id_col)
+    if materialize:
+        # the self-join would otherwise run the signature UDF per branch
+        sig = sig.localCheckpoint()
+    buckets = _simhash_band_explode(sig, id_col, bands)
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, max_bucket_size)
+        if materialize:
+            # cut after the cap for the same reason the signature is cut:
+            # the re-aliased self-join would re-run the count+semi-join
+            # per branch
+            buckets = buckets.localCheckpoint()
+    return _simhash_pairs_from_buckets(buckets, id_col, max_hamming)

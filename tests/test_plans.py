@@ -215,30 +215,47 @@ def test_warc_range_sort_is_narrow(spark):
     assert "Sort" in plan  # the per-partition sort is present
 
 
-def test_guarded_candidates_collapse_before_signature_and_join(spark):
-    # r5 hot-bucket guard: the exact-fingerprint collapse must run
-    # UPSTREAM of the signature UDF and the band self-join (m identical
-    # docs -> 1 signature), and the materialized form must keep the
-    # checkpointed-signature contract of the unguarded tier.
-    from manga_ocr_spark.operators.dedup import lsh_guarded_candidates
+def test_guarded_candidates_fused_base_and_materialized_join(spark):
+    # r6 fused guard: ONE pass over the text computes the exact-dup md5
+    # fingerprint AND the signature side by side (text scanned once,
+    # never shuffled), and the materialized pair plan scans only the
+    # checkpointed capped buckets.
+    from manga_ocr_spark.operators.dedup import (
+        _fused_base,
+        lsh_guarded_candidates,
+        minhash_signature,
+        simhash_guarded_candidates,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
 
-    pairs, _ = lsh_guarded_candidates(docs)
-    plan = _plan(pairs)
-    assert "EvalPython" not in plan  # signatures ran at checkpoint time
-    assert "Scan ExistingRDD" in plan
-    # second review cycle: the capped bucket frame must ALSO be cut —
-    # the re-aliased self-join defeats ReuseExchange, so an uncut cap
-    # (count aggregate + semi-join) would run once per branch. Cut, the
-    # pair plan carries no count aggregation at all.
-    assert "partial_count" not in plan
-    assert "LeftSemi" not in plan  # cap ran at checkpoint time too
+    for guarded in (lsh_guarded_candidates, simhash_guarded_candidates):
+        pairs, _ = guarded(docs)
+        plan = _plan(pairs)
+        assert "EvalPython" not in plan  # signatures ran at checkpoint time
+        assert "Scan ExistingRDD" in plan
+        # the capped bucket frame must ALSO be cut — the re-aliased
+        # self-join defeats ReuseExchange, so an uncut cap (count
+        # aggregate + semi-join) would run once per branch. Cut, the
+        # pair plan carries no count aggregation at all.
+        assert "partial_count" not in plan
+        assert "LeftSemi" not in plan  # cap + rep filter ran at checkpoint time
 
-    # lazy form exposes the full lineage: in the printed tree, upstream
-    # operators appear BELOW their consumers, so the signature UDF must
-    # print before the fingerprint partial_min aggregate it consumes
+    # the base job is one shuffle-free scan carrying BOTH the md5
+    # fingerprint and the signature UDF — the fused single pass
+    base = _fused_base(docs, "text", "doc_id", minhash_signature(F.col("text")), "sig", False)
+    bplan = _plan(base)
+    assert "Exchange" not in bplan
+    # the fingerprint md5 and the signature UDF both live in this single
+    # shuffle-free stage — one pass over the text (no per-line split: the
+    # whitespace-class literal embeds a real newline in the plan print)
+    assert "ArrowEvalPython" in bplan and "md5" in bplan
+
+    # lazy form still exposes the full lineage (UDF + collapse aggregate
+    # both present). NOTE: in the lazy plan Catalyst's column pruning
+    # legitimately splits the fused project per join branch — the single
+    # shared pass is realized by the base checkpoint, which is why
+    # materialize=True is the production form.
     pairs_lazy, _ = lsh_guarded_candidates(docs, materialize=False)
     plan2 = _plan(pairs_lazy)
     assert "ArrowEvalPython" in plan2 and "partial_min" in plan2
-    assert plan2.index("ArrowEvalPython") < plan2.index("partial_min")
