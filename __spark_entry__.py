@@ -426,26 +426,29 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ivf_topk AND lsh_bucket_topk against the exact cosine_topk ground
     truth, one (method, n_queries, recall_ok) row each. Every side is
     deterministic (seedless Lloyd, seeded hyperplanes, stable tie-breaks),
-    so the booleans are pinned facts, not flaky measurements; the 0.6 gate
-    sits far below the measured recalls (IVF 0.8 at 4/16 probes; LSH
-    0.92-0.96 at bits=4 x 16 bands). Reference analogue: the eval gates of
+    so the booleans are pinned facts, not flaky measurements. Per-tier
+    floors (r6, VERDICT r5 #4) sit below observed variance but above
+    regression territory: LSH >= 0.85 (measured 0.92-0.96 at bits=4 x 16
+    bands), IVF >= 0.7 (measured ~0.8 at 4/16 probes) — the old shared
+    0.6 floor would have passed a silent 30-point LSH regression.
+    Reference analogue: the eval gates of
     manga_ocr_dev/training/metrics.py:65-81."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     truth = S.cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
 
-    def gate(method: str, approx: DataFrame) -> DataFrame:
+    def gate(method: str, approx: DataFrame, floor: float) -> DataFrame:
         hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
         joined = truth.join(hits, ["query_id", "neighbor_id"], "left")
         return joined.agg(
             F.countDistinct("query_id").alias("n_queries"),
-            ((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*")) >= 0.6).alias(
+            ((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*")) >= floor).alias(
                 "recall_ok"
             ),
         ).select(F.lit(method).alias("method"), "n_queries", "recall_ok")
 
-    ivf = gate("ivf", S.ivf_topk(q, e, k=5, n_centroids=16, n_probe=4))
-    lsh = gate("lsh", S.lsh_bucket_topk(q, e, k=5, dim=64, bits=4, bands=16))
+    ivf = gate("ivf", S.ivf_topk(q, e, k=5, n_centroids=16, n_probe=4), 0.7)
+    lsh = gate("lsh", S.lsh_bucket_topk(q, e, k=5, dim=64, bits=4, bands=16), 0.85)
     return ivf.unionByName(lsh)
 
 

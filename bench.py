@@ -136,15 +136,20 @@ def _headline_queries(
         "window_rank_orders": lambda: E._q_window_rank(spark, sf_dir),
         "events_hourly": lambda: E._q_events_hourly(spark, sf_dir),
         "dedup_exact_keep": lambda: D.exact_dedup(docs),
-        # the GUARDED production shape (r5): exact collapse -> signatures
-        # on reps -> capped banding -> rep pairs + expansion — the same
-        # path the driver query runs; benching the unguarded form would
-        # hide regressions in the scale-critical collapse/cap stages
+        # the GUARDED production shape (r6 fused: ONE text pass computes
+        # fingerprint + signature; banding/cap over reps from the single
+        # materialized base) — the same path the driver query runs;
+        # benching the unguarded form would hide regressions in the
+        # scale-critical collapse/cap stages
         "minhash_candidate_pairs": lambda: D.expand_rep_pairs(
             *D.lsh_guarded_candidates(docs, max_bucket_size=D.LSH_MAX_BUCKET)
         ),
         "simhash_docs": lambda: D.simhash64(docs),
-        "simhash_candidate_pairs": lambda: D.simhash_candidate_pairs(docs),
+        # guarded SimHash (r6): same fused posture as the MinHash tier
+        "simhash_candidate_pairs": lambda: D.expand_rep_pairs(
+            *D.simhash_guarded_candidates(docs, max_bucket_size=D.LSH_MAX_BUCKET),
+            carry={"hamming": F.lit(0)},
+        ),
         "cosine_topk": lambda: S.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=10),
         # the SAME configuration the ann_recall oracle gates (bits=4 x 16
         # bands): measured recall@10 here at sf0.1's 2000-vector corpus is
@@ -194,11 +199,35 @@ def _headline_queries(
     return times, spreads
 
 
+def _noise_canary(spark) -> dict[str, float]:
+    """A FIXED reference job whose cost is independent of every engine
+    change: sum over an in-memory range (no I/O, no Python, no shuffle
+    beyond the final partial-agg exchange). Its round-over-round movement
+    measures the shared host's co-tenant load at bench time, letting a
+    reader normalize headline deltas without cross-round STATUS prose
+    (r5's driver sample landed in a storm window and read +14% on an
+    unchanged tree). Never added to the headline total."""
+    from pyspark.sql import functions as F
+
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        _force(spark.range(0, 200_000_000, 1, CPUS).select(F.sum("id")))
+        samples.append(time.time() - t0)
+    samples.sort()
+    return {
+        "min": round(samples[0], 3),
+        "med": round(samples[1], 3),
+        "max": round(samples[2], 3),
+    }
+
+
 def main_bench() -> None:
     from manga_ocr_spark.jobs.session import get_spark
 
     spark = get_spark(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+    canary = _noise_canary(spark)
     ext = _timed_extract(spark, SF_DIR, FANOUT, salt_partitions=CPUS * 2)
     queries, spreads = _headline_queries(spark, SF_DIR)
     queries["extract_80k_pages"] = ext["sec"]
@@ -212,6 +241,7 @@ def main_bench() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "query_spreads": spreads,
+                "noise_canary": canary,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
                 "extract_docs": ext["docs"],

@@ -519,8 +519,15 @@ class _Pdf:
             if isinstance(d, dict) and str(self.resolve(d.get("Type"))) == "XRef":
                 # position recorded by _scan_objects (post consumed-extent
                 # guard, so stream bodies containing 'N G obj' bytes
-                # cannot inject a fake XRef dict here)
-                candidates.append((self._obj_pos.get(num, 0), d))
+                # cannot inject a fake XRef dict here). Unreachable today
+                # (this runs before ObjStm unpacking, so every object has
+                # a recorded pos), but if an unknown-position dict ever
+                # appears, SKIP it: a 0 default would sort it before every
+                # classic trailer and invert later-wins
+                pos = self._obj_pos.get(num)
+                if pos is None:
+                    continue
+                candidates.append((pos, d))
         candidates.sort(key=lambda t: t[0])
         enc = None
         id0 = b""

@@ -286,8 +286,17 @@ class ExtractJob:
         try:
             lineage = self.spark.read.parquet(f"{self.out_dir}/lineage")
         except AnalysisException as e:
-            klass = e.getCondition() if hasattr(e, "getCondition") else None
-            if klass == "PATH_NOT_FOUND" or "does not exist" in str(e):
+            # error CLASS only, never free-text message matching: a
+            # differently-worded future error must not silently read as
+            # "nothing committed" at this resume correctness boundary.
+            # getCondition is the PySpark-4 name; getErrorClass the
+            # pre-4 legacy one — both return the stable class id.
+            klass = (
+                e.getCondition()
+                if hasattr(e, "getCondition")
+                else e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            )
+            if klass == "PATH_NOT_FOUND":
                 return set()
             if klass == "UNABLE_TO_INFER_SCHEMA" and not self._lineage_has_data_files():
                 # a kill during the very first lineage write can leave an

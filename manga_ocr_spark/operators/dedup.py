@@ -287,19 +287,26 @@ def _fused_base(
     return base.localCheckpoint() if materialize else base
 
 
-def _rep_map_from_base(base: DataFrame, id_col: str) -> DataFrame:
-    """(id, rep_id) derived lazily from the fused base — recomputing it is
-    a shuffle over narrow checkpointed rows, so consumers just re-derive
-    instead of holding another checkpoint."""
+def _rep_map_from_base(base: DataFrame, id_col: str, materialize: bool) -> DataFrame:
+    """(id, rep_id) derived from the fused base. With ``materialize`` it
+    is LAZILY localCheckpointed: consumers that never evaluate it (the
+    pairs-only production path) pay nothing, while multi-consumer paths
+    (expand_rep_pairs joins it four times) evaluate the groupBy+join
+    once and scan the materialized blocks after."""
     reps = base.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
-    return base.select(id_col, "fingerprint").join(reps, "fingerprint").select(id_col, "rep_id")
+    rm = base.select(id_col, "fingerprint").join(reps, "fingerprint").select(id_col, "rep_id")
+    return rm.localCheckpoint(eager=False) if materialize else rm
 
 
-def _rep_rows(base: DataFrame, id_col: str) -> DataFrame:
-    """Base rows whose id is the min of their fingerprint group (the
-    representatives), signature column included."""
-    rep_ids = base.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    return base.join(rep_ids.select(id_col), id_col, "left_semi")
+def _rep_rows(base: DataFrame, id_col: str, sig_name: str) -> DataFrame:
+    """One representative (min-id) row per fingerprint group, signature
+    included — ONE shuffle, no join back: identical fingerprint means
+    identical canonicalized text means an IDENTICAL signature (both are
+    pure functions of it), so ``first(sig)`` within the group is
+    deterministic and equal to the min-id row's signature."""
+    return base.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col), F.first(sig_name).alias(sig_name)
+    )
 
 
 def minhash_lsh_buckets(
@@ -459,20 +466,70 @@ def lsh_guarded_with_drops(
     base = _fused_base(
         df, text_col, id_col, minhash_signature(F.col(text_col), num_hashes), "sig", materialize
     )
-    rep_map = _rep_map_from_base(base, id_col)
-    raw_buckets = _minhash_band_explode(_rep_rows(base, id_col), id_col, num_hashes, bands)
+    rep_map = _rep_map_from_base(base, id_col, materialize)
+    raw_buckets = _minhash_band_explode(_rep_rows(base, id_col, "sig"), id_col, num_hashes, bands)
     if max_bucket_size is not None:
-        buckets = _cap_buckets(raw_buckets, max_bucket_size)
+        kept = _cap_buckets(raw_buckets, max_bucket_size)
         dropped = oversized_buckets(raw_buckets, max_bucket_size)
     else:
-        buckets = raw_buckets
+        kept = raw_buckets
         dropped = oversized_buckets(raw_buckets.limit(0), 0)
-    if materialize:
-        # cut before the re-aliased self-join: without this the rep
-        # groupBy/semi-join + banding + cap would run once PER BRANCH
-        # (re-aliasing defeats ReuseExchange — measured repo invariant)
-        buckets = buckets.localCheckpoint()
-    return minhash_candidate_pairs(buckets, id_col), rep_map, dropped
+    return _pairs_within_buckets(kept, id_col), rep_map, dropped
+
+
+def _pairs_within_buckets(
+    kept: DataFrame, id_col: str, sig_col: str | None = None
+) -> DataFrame:
+    """Distinct candidate pairs generated INSIDE each kept bucket via a
+    bounded collect_list + in-array expansion — no self-join at all.
+
+    Why this replaces the bucket self-join of the r5 tier: the self-join
+    re-aliases one side, which defeats ReuseExchange, forcing a
+    localCheckpoint of the buckets (an extra eager job) to avoid
+    per-branch recomputation. A grouped in-array expansion is a
+    straight-line plan — evaluated once, checkpoint-free — and the
+    arrays are SAFE because they exist only for buckets that already
+    passed the size cap (<= max_bucket_size rows each; the cap's count
+    runs with map-side partial aggregation, so an uncapped mega-bucket
+    never concentrates its rows anywhere). sort_array gives id_a < id_b
+    ordering inside each pair for free.
+
+    With ``sig_col`` the per-member signature rides along in the struct
+    and each pair carries ``hamming = bit_count(xor)`` (the SimHash
+    verify); without it pairs are bare (id_a, id_b) (the MinHash tier —
+    Jaccard verification happens downstream on text).
+    """
+    if sig_col is None:
+        grouped = kept.groupBy("band", "band_key").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ms")
+        )
+        make = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))
+        out_cols = ["p.id_a", "p.id_b"]
+    else:
+        grouped = kept.groupBy("band", "band_key").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col(sig_col)))
+            ).alias("ms")
+        )
+        make = lambda x, y: F.struct(
+            x[id_col].alias("id_a"),
+            y[id_col].alias("id_b"),
+            F.bit_count(x[sig_col].bitwiseXOR(y[sig_col])).alias("hamming"),
+        )
+        out_cols = ["p.id_a", "p.id_b", "p.hamming"]
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda y: make(x, y)),
+        )
+    )
+    return (
+        grouped.filter(F.size("ms") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(*out_cols)
+        .distinct()
+    )
 
 
 def expand_rep_pairs(
@@ -841,15 +898,14 @@ def simhash_guarded_candidates(
     if 64 % bands != 0:
         raise ValueError(f"bands={bands} must divide 64")
     base = _fused_base(df, text_col, id_col, simhash_col(F.col(text_col)), "simhash", materialize)
-    rep_map = _rep_map_from_base(base, id_col)
-    buckets = _simhash_band_explode(_rep_rows(base, id_col), id_col, bands)
+    rep_map = _rep_map_from_base(base, id_col, materialize)
+    buckets = _simhash_band_explode(_rep_rows(base, id_col, "simhash"), id_col, bands)
     if max_bucket_size is not None:
         buckets = _cap_buckets(buckets, max_bucket_size)
-    if materialize:
-        # cut before the re-aliased self-join (same reason as the MinHash
-        # tier: ReuseExchange does not survive re-aliasing)
-        buckets = buckets.localCheckpoint()
-    return _simhash_pairs_from_buckets(buckets, id_col, max_hamming), rep_map
+    pairs = _pairs_within_buckets(buckets, id_col, sig_col="simhash").filter(
+        F.col("hamming") <= max_hamming
+    )
+    return pairs, rep_map
 
 
 def simhash_candidate_pairs(

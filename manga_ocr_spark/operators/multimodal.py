@@ -194,8 +194,9 @@ def _unpack_subbyte(packed: np.ndarray, ph: int, pw: int, depth: int) -> np.ndar
 def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib PNG decode -> (width, height, 8 luma-band features).
 
-    Supports bit depth 8 for color types 0/2/3/4/6 (gray, RGB, paletted,
-    +alpha) and bit depths 1/2/4 for paletted AND grayscale — every
+    Supports bit depths 8 AND 16 for color types 0/2/4/6 (gray, RGB,
+    +alpha; 16-bit samples scale by 255/65535), bit depth 8 for paletted
+    (type 3), and bit depths 1/2/4 for paletted AND grayscale — every
     combination non-interlaced AND Adam7-interlaced (sub-byte passes
     unpack with pass-local row strides; gray samples scale by
     255/(2^depth-1) per PNG 11.2.2).
@@ -237,9 +238,11 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
         # crafted headers BEFORE allocating (a worker OOM is not
         # recoverable by the per-row except in _decode)
         raise ValueError("PNG dimensions out of bounds")
-    if depth != 8 and not (color in (0, 3) and depth in (1, 2, 4)):
-        # sub-byte depths exist only for paletted/gray (both supported);
-        # 16-bit stays stubbed (rare in crawled graphics)
+    if depth == 16:
+        if color == 3:
+            raise ValueError("unsupported PNG bit depth")  # paletted is never 16-bit
+    elif depth != 8 and not (color in (0, 3) and depth in (1, 2, 4)):
+        # sub-byte depths exist only for paletted/gray (both supported)
         raise ValueError("unsupported PNG bit depth")
     if depth < 8:
         if interlace == 1:
@@ -279,26 +282,40 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     if color == 3 and plte is None:
         raise ValueError("paletted PNG without PLTE")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * channels
+    # 16-bit: two bytes per sample, big-endian. Filtering is defined on
+    # BYTES with bpp = bytes per complete pixel (PNG 9.2), so the
+    # unfilter path is depth-agnostic; samples re-assemble afterwards
+    # with a >u2 view and intensities scale by 255/65535 (the 11.2.2
+    # sample depth scaling, same rule the sub-byte tier applies).
+    sb = depth // 8  # bytes per sample: 1 or 2
+    bpp = channels * sb
+    stride = w * bpp
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images, de-interlaced
         # back onto the full-pixel grid; total plaintext size is the sum
         # of the per-pass sub-images, computable before inflating
         passes = _adam7_passes(w, h)
         raw = _inflate_exact(
-            bytes(idat), sum(ph * (pw * channels + 1) for *_, pw, ph in passes)
+            bytes(idat), sum(ph * (pw * bpp + 1) for *_, pw, ph in passes)
         )
-        px = np.zeros((h, w, channels), dtype=np.uint8)
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
         pos2 = 0
         for xs, ys, xstep, ystep, pw, ph in passes:
-            pstride = pw * channels
+            pstride = pw * bpp
             sub_raw = raw[pos2 : pos2 + ph * (pstride + 1)]
             pos2 += ph * (pstride + 1)
-            sub = _png_unfilter(sub_raw, ph, pstride, channels).reshape(ph, pw, channels)
+            sub = _png_unfilter(sub_raw, ph, pstride, bpp).reshape(ph, pw, bpp)
             px[ys::ystep, xs::xstep] = sub
     else:
         raw = _inflate_exact(bytes(idat), h * (stride + 1))
-        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+        px = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+    if sb == 2:
+        px = (
+            np.ascontiguousarray(px)
+            .reshape(h, w * channels * 2)
+            .view(">u2")
+            .reshape(h, w, channels)
+        )
     if color == 3:
         idx = px[:, :, 0].astype(np.int64)
         if int(idx.max(initial=0)) >= len(plte):
@@ -307,6 +324,8 @@ def decode_png(data: bytes) -> tuple[int, int, list[float]]:
     else:
         color_ch = {0: 1, 2: 3, 4: 1, 6: 3}[color]  # drop alpha from stats
         luma = px[:, :, :color_ch].astype(np.float64).mean(axis=2)  # (h, w)
+        if sb == 2:
+            luma *= 255.0 / 65535.0  # PNG 11.2.2 sample depth scaling
     feat = _luma_features(luma)
     return int(w), int(h), feat
 

@@ -109,6 +109,100 @@ def encode_png_adam7(px: np.ndarray, filters: list[int]) -> bytes:
     )
 
 
+def encode_png16(
+    px16: np.ndarray, color: int, filters: list[int], interlace: bool = False
+) -> bytes:
+    """16-bit PNG encoder (gray=0, RGB=2, gray+alpha=4, RGBA=6),
+    independent of the decoder: big-endian samples, filtering on BYTES
+    with bpp = channels*2 (PNG 9.2) — realized by handing _filter_raw a
+    (h, w, channels*2) byte view, so each 'channel' position is one byte
+    of the pixel and its ch-offset IS the byte bpp."""
+    h, w, ch = px16.shape
+    byts = np.frombuffer(px16.astype(">u2").tobytes(), np.uint8).reshape(h, w, ch * 2)
+    if interlace:
+        raw = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = byts[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_raw(np.ascontiguousarray(sub), filters)
+        body = bytes(raw)
+    else:
+        body = _filter_raw(byts, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _gradient16(w: int, h: int, ch: int) -> np.ndarray:
+    """Full-range 16-bit gradients: values exercise BOTH bytes of every
+    sample (odd low bytes, >255 highs)."""
+    y, x = np.mgrid[0:h, 0:w]
+    planes = [
+        ((x * 65535) // max(w - 1, 1)).astype(np.uint16),
+        ((y * 65535) // max(h - 1, 1)).astype(np.uint16),
+        (((x + y) * 9973) % 65536).astype(np.uint16),
+        (((x * 31 + y * 7) * 257) % 65536).astype(np.uint16),
+    ]
+    return np.stack(planes[:ch], axis=2)
+
+
+def test_png_16bit_roundtrip_all_color_types_and_interlace():
+    # gray / RGB / gray+alpha / RGBA at depth 16, every filter mix, both
+    # interlace forms, odd dims (partial Adam7 passes); expected features
+    # computed from the 16-bit pixels directly (mean/65535) — the 11.2.2
+    # scaling the decoder must apply
+    from manga_ocr_spark.operators.multimodal import decode_png
+
+    color_ch = {0: 1, 2: 3, 4: 1, 6: 3}
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px16 = _gradient16(13, 9, ch)
+        luma = px16[:, :, : color_ch[color]].astype(np.float64).mean(axis=2)
+        want = [
+            round(float(b.mean()) / 65535.0, 6)
+            for b in np.array_split(luma, FEATURE_DIM, axis=0)
+        ]
+        for interlace in (False, True):
+            for filters in ([0], [4], [0, 1, 2, 3, 4]):
+                data = encode_png16(px16, color, filters, interlace=interlace)
+                w, h, feat = decode_png(data)
+                assert (w, h) == (13, 9)
+                assert feat == want, (color, interlace, filters)
+
+
+def test_png_16bit_uses_both_sample_bytes_not_just_the_high_one():
+    # a constant 0x00FF image: true 11.2.2 scaling gives 255/65535 ≈
+    # 0.003891; a high-byte-only shortcut would read 0.0
+    from manga_ocr_spark.operators.multimodal import decode_png
+
+    px16 = np.full((8, 8, 1), 0x00FF, dtype=np.uint16)
+    _, _, feat = decode_png(encode_png16(px16, 0, [0]))
+    assert feat == [round(255 / 65535, 6)] * FEATURE_DIM
+
+
+def test_png_16bit_paletted_still_rejected():
+    # paletted PNGs are never 16-bit (PNG 11.2.2 table); a crafted header
+    # must fail to the stub tier, not decode garbage
+    import pytest
+
+    from manga_ocr_spark.operators.multimodal import decode_png
+
+    px16 = _gradient16(4, 4, 1)
+    data = bytearray(encode_png16(px16, 0, [0]))
+    # patch IHDR color type 0 -> 3 (offset: 8 magic + 8 chunk hdr + 9th byte)
+    data[8 + 8 + 9] = 3
+    # fix the CRC so only the color-type claim is "corrupt"
+    ihdr = bytes(data[16 : 16 + 13])
+    data[16 + 13 : 16 + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+
+
 def _gradient_image(w: int = 16, h: int = 10) -> np.ndarray:
     y, x = np.mgrid[0:h, 0:w]
     r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
@@ -997,6 +1091,7 @@ def test_media_decode_corruption_fuzz_never_raises_and_stays_bounded():
         encode_png(rgb, [0, 1, 2, 3, 4]),
         encode_png_paletted(idx.astype(np.int64), pal, 4),
         encode_png_paletted(idx.astype(np.int64), pal, 2, interlace=1),
+        encode_png16(_gradient16(7, 6, 3), 2, [0, 1, 2, 3, 4], interlace=True),
         jpg,
         encode_bmp(rgb),
         encode_bmp_variant(rgb, 32),

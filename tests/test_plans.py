@@ -234,12 +234,18 @@ def test_guarded_candidates_fused_base_and_materialized_join(spark):
         plan = _plan(pairs)
         assert "EvalPython" not in plan  # signatures ran at checkpoint time
         assert "Scan ExistingRDD" in plan
-        # the capped bucket frame must ALSO be cut — the re-aliased
-        # self-join defeats ReuseExchange, so an uncut cap (count
-        # aggregate + semi-join) would run once per branch. Cut, the
-        # pair plan carries no count aggregation at all.
-        assert "partial_count" not in plan
-        assert "LeftSemi" not in plan  # cap + rep filter ran at checkpoint time
+        # r6: pairs come from a bounded in-bucket collect_list expansion,
+        # not a bucket self-join — a straight-line plan with no
+        # re-aliasing, so no second checkpoint is needed and nothing runs
+        # per-branch. The cap's count aggregate runs INSIDE this single
+        # evaluation with map-side partial aggregation (the skew-safety
+        # property: an uncapped mega-bucket never concentrates its rows).
+        assert "collect_list" in plan
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        # only the cap's two branches read the base; the old self-join
+        # form added two more scans per pair branch
+        assert plan.count("Scan ExistingRDD") <= 2
 
     # the base job is one shuffle-free scan carrying BOTH the md5
     # fingerprint and the signature UDF — the fused single pass
