@@ -554,16 +554,27 @@ def expand_rep_pairs(
     ``{"hamming": F.lit(0)}`` for SimHash (identical docs are distance
     0)."""
     carry = carry or {}
-    a = rep_map.alias("a")
-    b = rep_map.alias("b")
-    within = a.join(
-        b,
-        (F.col("a.rep_id") == F.col("b.rep_id"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        *[v.alias(k) for k, v in carry.items()],
+    # within-group pairs via the same in-array expansion as the bucket
+    # tier (one shuffle instead of a re-aliased self-join's two); group
+    # arrays are unbounded here, but so is this function's output — the
+    # quadratic member-level form is for small-set verification only
+    groups = rep_map.groupBy("rep_id").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    within = (
+        groups.filter(F.size("ms") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", *[v.alias(k) for k, v in carry.items()])
     )
     ma = rep_map.select(F.col("rep_id").alias("id_a"), F.col(id_col).alias("__ma"))
     mb = rep_map.select(F.col("rep_id").alias("id_b"), F.col(id_col).alias("__mb"))
