@@ -51,11 +51,16 @@ NOTES = {
         "formulation would; on the engine's bucketed layout it co-locates."
     ),
     "minhash_candidate_pairs": (
-        "Signatures are computed map-side in one Arrow-batched UDF; the "
-        "only shuffle is the (band, band_key) self-join, whose keys are "
-        "md5 strings of 4-long slices. The N^2 pair space never "
-        "materializes — only per-bucket blocks do (LSH's point at 10^12 "
-        "docs)."
+        "The GUARDED production path (r6): the Scan ExistingRDD at the "
+        "bottom is the fused base — ONE pass over the text computed the "
+        "exact-dup fingerprint AND the MinHash signature, localCheckpointed "
+        "once, so the text is scanned once and never shuffled. Reps "
+        "collapse in one shuffle (partial_min map-side); the bucket-size "
+        "cap counts with partial_count (an uncapped mega-bucket never "
+        "concentrates its rows); pairs come from a bounded in-bucket "
+        "collect_list expansion — no self-join, no second checkpoint. The "
+        "N^2 pair space never materializes — only capped per-bucket "
+        "arrays do (LSH's point at 10^12 docs)."
     ),
     "cosine_topk": (
         "The query side broadcasts; each task scans its corpus split once "
@@ -78,11 +83,12 @@ NOTES = {
         "shuffles; banding keeps that ~bands*N/2^bits per query, never N."
     ),
     "simhash_candidate_pairs": (
-        "Same two-tier shape as MinHash LSH: one Arrow-batched UDF computes "
-        "the 64-bit signature map-side; the only shuffle is the (band, "
-        "16-bit band_key) self-join; bit_count(xor) verifies Hamming <= 3 "
-        "JVM-side. Pigeonhole: every pair under 4 bits of difference shares "
-        "a band, so no all-pairs join is ever needed."
+        "Same guarded shape as the MinHash tier: fused fingerprint+SimHash "
+        "base (the ExistingRDD scan), one-shuffle rep collapse, capped "
+        "(band, 16-bit band_key) buckets, bounded in-bucket expansion with "
+        "bit_count(xor) verifying Hamming <= 3 JVM-side. Pigeonhole: every "
+        "pair under 4 bits of difference shares a band, so no all-pairs "
+        "join is ever needed."
     ),
     "quality_scores": (
         "The full text-analysis panel — token counts, ratios, two-tier "
@@ -109,10 +115,10 @@ def main() -> None:
     from manga_ocr_spark.jobs.pages_from_docs import pages_from_documents
     from manga_ocr_spark.jobs.session import get_spark
     from manga_ocr_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
         exact_dedup,
-        minhash_candidate_pairs,
-        minhash_lsh_buckets,
-        simhash_candidate_pairs,
+        lsh_guarded_candidates,
+        simhash_guarded_candidates,
     )
     from manga_ocr_spark.operators.similarity import cosine_topk
 
@@ -127,8 +133,12 @@ def main() -> None:
         "q3_top_revenue": E._q3_top_revenue(spark, SF_DIR),
         "q5_region_revenue": E._q5_region_revenue(spark, SF_DIR),
         "exact_dedup": exact_dedup(docs),
-        "minhash_candidate_pairs": minhash_candidate_pairs(minhash_lsh_buckets(docs)),
-        "simhash_candidate_pairs": simhash_candidate_pairs(docs),
+        "minhash_candidate_pairs": lsh_guarded_candidates(
+            docs, max_bucket_size=LSH_MAX_BUCKET
+        )[0],
+        "simhash_candidate_pairs": simhash_guarded_candidates(
+            docs, max_bucket_size=LSH_MAX_BUCKET
+        )[0],
         "cosine_topk": cosine_topk(emb.filter("vec_id < 5"), emb),
         "window_package_docs": E._q_window_package(spark, SF_DIR),
         "ann_lsh_topk": E._q_ann_lsh(spark, SF_DIR),
@@ -148,7 +158,11 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out += [f"## {name}", "", NOTES[name], "", "```", buf.getvalue().rstrip(), "```", ""]
-    Path("EXPLAIN.md").write_text("\n".join(out))
+    text = "\n".join(out)
+    # plan dumps embed regex literals with raw control bytes (the ASCII
+    # class [\x00-\x7f]); escape them so the file stays greppable text
+    text = "".join(c if c == "\n" or ord(c) >= 32 or c == "\t" else f"\\x{ord(c):02x}" for c in text)
+    Path("EXPLAIN.md").write_text(text)
     print("wrote EXPLAIN.md")
     spark.stop()
 
