@@ -45,7 +45,23 @@ def neardedup_keep_ids(
     cand, rep_map, dropped = D.lsh_guarded_with_drops(
         df, text_col, "doc_id", max_bucket_size=max_bucket_size
     )
-    g = df.select(F.col("doc_id"), D.char_shingles(F.col(text_col)).alias("grams"))
+    # consumed twice below (endpoint ids + the verification join) — cut
+    # once so pair generation doesn't re-run per branch; the pair frame
+    # is KB-scale (post-cap candidates), so the cut is cheap
+    cand = cand.localCheckpoint()
+    # grams only for candidate-pair ENDPOINTS, not every doc: the
+    # candidate set is << N after banding+cap, and the semi-join
+    # broadcasts those ids — so no non-candidate gram array (larger than
+    # the text itself) is ever computed or shuffled, keeping the fused
+    # tier's invariant that full-corpus text-derived rows never move
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    g = df.join(cand_ids, "doc_id", "left_semi").select(
+        F.col("doc_id"), D.char_shingles(F.col(text_col)).alias("grams")
+    )
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
@@ -88,7 +104,7 @@ def run_neardedup(
     already-tiny frame), never row-scale collects. Returns the counters
     as a dict for callers/tests.
     """
-    keep, _rep_map, dropped = neardedup_keep_ids(
+    keep, rep_map, dropped = neardedup_keep_ids(
         docs, text_col, jaccard_threshold, max_bucket_size
     )
     keep.write.mode("overwrite").parquet(f"{out_dir}/keep")
@@ -97,7 +113,11 @@ def run_neardedup(
         .agg(F.count("*").alias("n_buckets"), F.sum("n").alias("n_rows"))
         .collect()
     )
-    n_in = docs.count()
+    # docs_in from rep_map (one row per input doc, already materialized
+    # from the fused base's narrow checkpointed rows) — docs.count()
+    # would replay the full upstream lineage (a second text scan when
+    # ``docs`` is a UDF-derived extraction frame) just to count
+    n_in = rep_map.count()
     n_kept = spark.read.parquet(f"{out_dir}/keep").count()
     rows: list[tuple[str, int | None, int]] = [
         ("docs_in", None, n_in),

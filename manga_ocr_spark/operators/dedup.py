@@ -905,18 +905,46 @@ def simhash_guarded_candidates(
     pair's distance equals its rep pair's exactly, because identical text
     yields an identical signature). Same skeleton, same scale argument:
     byte-identical shells become one bucket row instead of an O(m^2)
-    reducer key, and the text is scanned once and never shuffled."""
+    reducer key, and the text is scanned once and never shuffled.
+    For the capped-drop metrics side channel use
+    :func:`simhash_guarded_with_drops`."""
+    pairs, rep_map, _ = simhash_guarded_with_drops(
+        df, text_col, id_col, bands, max_hamming, max_bucket_size, materialize
+    )
+    return pairs, rep_map
+
+
+def simhash_guarded_with_drops(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`simhash_guarded_candidates` plus the guard's drop side
+    channel, mirroring :func:`lsh_guarded_with_drops`: returns
+    ``(rep_pairs, rep_map, dropped)`` where ``dropped`` is the (band,
+    band_key, n) frame of buckets the cap removed. The rule is the same
+    on every guarded tier: a capped mega-cluster is lost recall, and lost
+    recall has to be a counter, never silence — jobs aggregate ``dropped``
+    into their metrics sink."""
     if 64 % bands != 0:
         raise ValueError(f"bands={bands} must divide 64")
     base = _fused_base(df, text_col, id_col, simhash_col(F.col(text_col)), "simhash", materialize)
     rep_map = _rep_map_from_base(base, id_col, materialize)
-    buckets = _simhash_band_explode(_rep_rows(base, id_col, "simhash"), id_col, bands)
+    raw_buckets = _simhash_band_explode(_rep_rows(base, id_col, "simhash"), id_col, bands)
     if max_bucket_size is not None:
-        buckets = _cap_buckets(buckets, max_bucket_size)
+        buckets = _cap_buckets(raw_buckets, max_bucket_size)
+        dropped = oversized_buckets(raw_buckets.drop("simhash"), max_bucket_size)
+    else:
+        buckets = raw_buckets
+        dropped = oversized_buckets(raw_buckets.drop("simhash").limit(0), 0)
     pairs = _pairs_within_buckets(buckets, id_col, sig_col="simhash").filter(
         F.col("hamming") <= max_hamming
     )
-    return pairs, rep_map
+    return pairs, rep_map, dropped
 
 
 def simhash_candidate_pairs(

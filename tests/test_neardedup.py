@@ -145,3 +145,23 @@ def test_simhash_guarded_matches_unguarded_on_mixed_corpus(spark):
         for r in D.expand_rep_pairs(pairs, rep_map, carry={"hamming": F.lit(0)}).collect()
     }
     assert expanded == unguarded and len(expanded) > 0
+
+
+def test_simhash_guarded_with_drops_surfaces_capped_buckets(spark):
+    # the drop side channel must exist on EVERY guarded tier (the rule:
+    # capped recall loss is a counter, never silence) — SimHash included.
+    # The periodic shells have distinct fingerprints (no exact collapse)
+    # but one shared token ('spark'), hence one identical simhash -> 20
+    # distinct reps land in a single bucket per band
+    docs = spark.createDataFrame(_hot_bucket_docs())
+    pairs, rep_map, dropped = D.simhash_guarded_with_drops(
+        docs, max_bucket_size=10
+    )
+    d = {(int(r.band), int(r.n)) for r in dropped.collect()}
+    assert d == {(0, 20), (1, 20), (2, 20), (3, 20)}
+    assert pairs.count() == 0  # every bucket was capped away
+    assert rep_map.count() == 20
+    # and with the cap off the channel is empty, pairs are back
+    pairs2, _, dropped2 = D.simhash_guarded_with_drops(docs, max_bucket_size=None)
+    assert dropped2.count() == 0
+    assert pairs2.count() > 0
