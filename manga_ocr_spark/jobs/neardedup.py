@@ -77,7 +77,10 @@ def neardedup_keep_ids(
     drop_reps = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     drop_members = rep_map.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
     drop = drop_reps.unionByName(drop_members)
-    keep = df.join(drop, "doc_id", "left_anti").select("doc_id")
+    # survivors from rep_map, not df: rep_map has exactly one narrow
+    # checkpointed row per input doc (NULL text included, via the
+    # sentinel group), so the keep-set never replays the input lineage
+    keep = rep_map.select("doc_id").join(drop, "doc_id", "left_anti")
     return keep, rep_map, dropped
 
 
