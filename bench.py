@@ -300,15 +300,28 @@ def _load_probe(procs: int = 8) -> dict:
     }
 
 
-def _wait_quiet(max_wait_sec: int, quiet_tp: float, procs: int = 8) -> tuple[dict, bool]:
-    """Probe until the host looks quiet (fanned spin wall <= quiet_tp) or
-    max_wait elapses; returns (last probe, quiet?). On timeout the caller
-    proceeds anyway — the probe is RECORDED so a reader can discount the
-    sample, never silently."""
+def _wait_quiet(
+    max_wait_sec: int,
+    quiet_tp: float,
+    procs: int = 8,
+    quiet_load: float = 3.0,
+    settle: int = 0,
+) -> tuple[dict, bool]:
+    """Probe until the host looks quiet or max_wait elapses; returns
+    (last probe, quiet?). Quiet needs BOTH signals: the fanned spin under
+    quiet_tp (full-host storms preempt it) AND loadavg1 under quiet_load
+    (partial occupancy — co-tenants holding 6-10 cores — leaves the spin
+    fast because free cores remain, but still starves an 8-core Spark leg
+    whose JVM+worker tree wants more than its share). ``settle`` sleeps
+    first so OUR just-finished leg's loadavg contribution decays out of
+    the 1-min window. On timeout the caller proceeds anyway — the probe
+    is RECORDED so a reader can discount the sample, never silently."""
+    if settle:
+        time.sleep(settle)
     deadline = time.time() + max_wait_sec
     while True:
         p = _load_probe(procs)
-        if p["tp"] <= quiet_tp:
+        if p["tp"] <= quiet_tp and p["load1"] <= quiet_load:
             return p, True
         if time.time() >= deadline:
             return p, False
@@ -424,6 +437,8 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
     # calibrated on this host: the fanned spin reads tp ~0.91-1.02 quiet
     # (single ~0.68-0.79); storms inflate it 2-10x, so 1.15 separates them
     quiet_tp = float(os.environ.get("BENCH_QUIET_TP", "1.15"))
+    quiet_load = float(os.environ.get("BENCH_QUIET_LOAD", "3.0"))
+    settle = int(os.environ.get("BENCH_QUIET_SETTLE", "60"))
     max_wait = int(os.environ.get("BENCH_QUIET_MAX_WAIT", "900"))
     probes: list[dict] = []
     all_quiet = True
@@ -434,7 +449,7 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
     # on this shared host hits both levels symmetrically; each leg is a
     # fresh subprocess (fresh JVM = fresh cluster analogue)
     for cpus in (n, n4) * repeats:
-        probe, quiet = _wait_quiet(max_wait, quiet_tp)
+        probe, quiet = _wait_quiet(max_wait, quiet_tp, quiet_load=quiet_load, settle=settle)
         probes.append({**probe, "leg": f"engine[{cpus}]", "quiet": quiet})
         all_quiet = all_quiet and quiet
         env = dict(
@@ -476,6 +491,13 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
             sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-2000:] + "\n")
             raise RuntimeError(f"no result line from local[{cpus}] run")
         samples[cpus].append(parsed)
+        # post-leg probe (no settle, not gating): a gust that arrived
+        # MID-leg shows up here, flagging the sample it contaminated
+        p_after = _load_probe()
+        parsed["gust_after"] = not (
+            p_after["tp"] <= quiet_tp and p_after["load1"] <= quiet_load + 4
+        )
+        probes.append({**p_after, "leg": f"engine[{cpus}]-after", "quiet": not parsed["gust_after"]})
         print(f"local[{cpus}]: {parsed}", file=sys.stderr)
 
     # same-day host-ceiling control: the pure extraction core over raw
@@ -494,7 +516,7 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
         chunk_paths = _ceiling_stage(payloads, ctl_tmp)
         del payloads
         for cpus in (n, n4):
-            probe, quiet = _wait_quiet(max_wait, quiet_tp)
+            probe, quiet = _wait_quiet(max_wait, quiet_tp, quiet_load=quiet_load, settle=settle)
             probes.append({**probe, "leg": f"control[{cpus}]", "quiet": quiet})
             all_quiet = all_quiet and quiet
             legs = [_ceiling_leg(chunk_paths, n_docs_ctl, cpus) for _ in range(2)]
@@ -580,8 +602,12 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
         f"scaling = {eff} / {ceiling_eff} = **{engine_rel}**.\n\n"
         "## Capture hygiene\n\n"
         "Every leg was gated on a no-Spark load probe (fixed pure-Python "
-        f"spin, single + {8}-proc; quiet threshold tp <= {quiet_tp}s, "
-        "storms read 2-10x that). Probes as captured:\n\n"
+        f"spin, single + 8-proc, quiet iff spin <= {quiet_tp}s AND "
+        f"loadavg1 <= {quiet_load} after a {settle}s settle; storms read "
+        "2-10x the spin, partial co-tenant occupancy shows in loadavg). "
+        "`-after` rows are post-leg probes — a gust that arrived mid-leg "
+        "shows there, flagging the sample it contaminated. Probes as "
+        "captured:\n\n"
         "| leg | spin 1-proc (s) | spin 8-proc (s) | loadavg1 | quiet |\n"
         "|---|---|---|---|---|\n"
         f"{probe_lines}\n\n"
