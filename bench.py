@@ -108,7 +108,12 @@ def _timed_extract(spark, sf_dir: str, fanout: int, salt_partitions: int) -> dic
         sec = min(runs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return {"docs": n_docs, "sec": round(sec, 3), "docs_per_sec": round(n_docs / sec, 1)}
+    return {
+        "docs": n_docs,
+        "sec": round(sec, 3),
+        "docs_per_sec": round(n_docs / sec, 1),
+        "runs": [round(r, 2) for r in runs],
+    }
 
 
 def _headline_queries(
@@ -268,7 +273,13 @@ def main_extract_timing() -> None:
 
     spark = get_spark(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    out = _timed_extract(spark, SF_DIR, FANOUT, salt_partitions=CPUS * 2)
+    # scaling legs use finer tasks (cpus*8): with cpus*2 partitions a
+    # 120k-doc leg has 6-7 s tasks and the straggler TAIL is the dominant
+    # fixed cost of the 8-core leg (~5 s of its 19 s) — at 100 TB the
+    # scan's ~800k splits give fine granularity for free, so coarse tasks
+    # here would charge the ENGINE for a sandbox artifact
+    salt = int(os.environ.get("BENCH_SALT_PARTS", str(CPUS * 2)))
+    out = _timed_extract(spark, SF_DIR, FANOUT, salt_partitions=salt)
     out["cpus"] = CPUS
     print(json.dumps(out))
     spark.stop()
@@ -340,16 +351,17 @@ def _wait_quiet(
         time.sleep(45)
 
 
-def _control_payloads(paras: int, fanout: int = 4) -> list[bytes]:
+def _control_payloads(paras: int, fanout: int = 4, sf_dir: str = SF_DIR) -> list[bytes]:
     """The engine legs' exact page HTML, built WITHOUT Spark (same
     template literals as jobs/pages_from_docs.py, same doc_id fanout and
     family arithmetic, same paras repetition) — input for the raw-
-    multiprocessing host-ceiling control."""
+    multiprocessing host-ceiling control. Byte-identity with the engine
+    path is pinned by tests/test_bench_control.py."""
     import pyarrow.parquet as pq
 
     from manga_ocr_spark.jobs import pages_from_docs as P
 
-    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     payloads: list[bytes] = []
     for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
         body = " ".join([text] * paras)
@@ -469,6 +481,7 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
             BENCH_EXTRACT_PARAS=paras,
             BENCH_EXTRACT_FANOUT=fanout,
             BENCH_EXTRACT_RUNS="4",
+            BENCH_SALT_PARTS=os.environ.get("BENCH_SALT_PARTS", str(cpus * 8)),
         )
         cmd = [sys.executable, str(REPO / "bench.py"), "--extract-timing"]
         if have_taskset and os.environ.get("BENCH_PIN_CPUS"):
@@ -503,10 +516,13 @@ def main_scaling(n: int = 2, n4: int = 8) -> None:
             raise RuntimeError(f"no result line from local[{cpus}] run")
         samples[cpus].append(parsed)
         # post-leg probe (no settle, not gating): a gust that arrived
-        # MID-leg shows up here, flagging the sample it contaminated
+        # MID-leg shows up here, flagging the sample it contaminated.
+        # The loadavg allowance is leg-size-aware — our own just-finished
+        # leg contributes ~cpus+2 (workers + JVM helpers) to the 1-min
+        # window, so a flat threshold would false-alarm every big leg
         p_after = _load_probe()
         parsed["gust_after"] = not (
-            p_after["tp"] <= quiet_tp and p_after["load1"] <= quiet_load + 4
+            p_after["tp"] <= quiet_tp and p_after["load1"] <= quiet_load + cpus + 3
         )
         probes.append({**p_after, "leg": f"engine[{cpus}]-after", "quiet": not parsed["gust_after"]})
         print(f"local[{cpus}]: {parsed}", file=sys.stderr)
