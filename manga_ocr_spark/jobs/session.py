@@ -40,6 +40,14 @@ def _resolve_master(master: str | None, env: dict, cpus: int) -> str | None:
     return f"local[{cpus}]"
 
 
+def _java_opts() -> str:
+    """Driver/executor JVM options: throughput GC, plus any caller-supplied
+    extras from $SPARK_GRAFT_JAVA_OPTS (profiling hook — e.g. ``-Xlog:gc*``
+    to attribute wall time to stop-the-world pauses; inert when unset)."""
+    extra = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    return f"-XX:+UseParallelGC {extra}".strip()
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "manga-ocr-spark",
@@ -86,8 +94,8 @@ def get_spark(
         # throughput GC for batch work: G1's pause-time tuning throttled the
         # allocation-heavy parquet-binary scan at high core counts (measured
         # 3-4x slower scans vs ParallelGC at local[32])
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.driver.extraJavaOptions", _java_opts())
+        .config("spark.executor.extraJavaOptions", _java_opts())
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is not None:
