@@ -40,12 +40,22 @@ def _resolve_master(master: str | None, env: dict, cpus: int) -> str | None:
     return f"local[{cpus}]"
 
 
-def _java_opts() -> str:
+def _java_opts(cpus: int | None = None) -> str:
     """Driver/executor JVM options: throughput GC, plus any caller-supplied
     extras from $SPARK_GRAFT_JAVA_OPTS (profiling hook — e.g. ``-Xlog:gc*``
-    to attribute wall time to stop-the-world pauses; inert when unset)."""
+    to attribute wall time to stop-the-world pauses; inert when unset).
+
+    When the session models an N-core executor (standalone local[N]), the
+    JVM is told so via -XX:ActiveProcessorCount=N: otherwise every internal
+    pool it sizes from os.availableProcessors — ParallelGC worker threads
+    (~23 on this 32-CPU host), C2 compiler threads (~12), ForkJoinPool —
+    is scaled to the HOST, not the modeled executor. On a real cluster an
+    executor container sees its own core allotment; in the sandbox the
+    mismatch subsidizes small-N legs (a local[2] job with 23 GC threads)
+    and distorts any N-vs-4N comparison."""
     extra = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
-    return f"-XX:+UseParallelGC {extra}".strip()
+    apc = f"-XX:ActiveProcessorCount={cpus} " if cpus else ""
+    return f"-XX:+UseParallelGC {apc}{extra}".strip()
 
 
 def get_spark(
@@ -66,16 +76,31 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = _resolve_master(master, os.environ, cpus)
     launcher_owned = master is None  # spark-submit decided the master
+    # N of the modeled N-core executor: only meaningful for a standalone
+    # local[N] session (under spark-submit the launcher owns sizing)
+    jvm_cpus = None
+    if not launcher_owned and master.startswith("local"):
+        jvm_cpus = cpus if "*" in master else int(
+            "".join(c for c in master if c.isdigit()) or cpus
+        )
     if shuffle_partitions is None and not launcher_owned:
         # local[N] -> N usable cores; 1 partition per core for the
         # map-heavy extraction profile (shuffles are rare and AQE coalesces)
-        n = cpus if "*" in master else int("".join(c for c in master if c.isdigit()) or cpus)
-        shuffle_partitions = max(8, n)
+        shuffle_partitions = max(8, jvm_cpus or cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # byte-based cap composes with the row cap (a batch closes when
+        # EITHER is hit, SQLConf: spark.sql.execution.arrow.maxBytesPerBatch)
+        # — bounds batch MEMORY directly, so 60 KB pages stop riding in
+        # ~60 MB batches while 2 KB docs keep their 1024-row batches; A/B
+        # hook via $SPARK_GRAFT_ARROW_MAX_BYTES, inert when unset
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(1 << 30)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -94,8 +119,8 @@ def get_spark(
         # throughput GC for batch work: G1's pause-time tuning throttled the
         # allocation-heavy parquet-binary scan at high core counts (measured
         # 3-4x slower scans vs ParallelGC at local[32])
-        .config("spark.driver.extraJavaOptions", _java_opts())
-        .config("spark.executor.extraJavaOptions", _java_opts())
+        .config("spark.driver.extraJavaOptions", _java_opts(jvm_cpus))
+        .config("spark.executor.extraJavaOptions", _java_opts(jvm_cpus))
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is not None:
