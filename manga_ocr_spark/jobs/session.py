@@ -80,9 +80,12 @@ def get_spark(
     # local[N] session (under spark-submit the launcher owns sizing)
     jvm_cpus = None
     if not launcher_owned and master.startswith("local"):
-        jvm_cpus = cpus if "*" in master else int(
-            "".join(c for c in master if c.isdigit()) or cpus
-        )
+        # parse the thread count only — local[4,2] means (threads, maxFailures),
+        # and digit-concatenation would read it as 42 (ADVICE r6)
+        import re
+
+        m = re.match(r"local\[(\d+|\*)", master)
+        jvm_cpus = cpus if (m is None or m.group(1) == "*") else int(m.group(1))
     if shuffle_partitions is None and not launcher_owned:
         # local[N] -> N usable cores; 1 partition per core for the
         # map-heavy extraction profile (shuffles are rare and AQE coalesces)
@@ -106,6 +109,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions (canBuildLocalHashMap + muchSmaller) hold —
+        # skips both sort passes; the guide's §3.1/§9 posture. Not a
+        # force: joins whose build side exceeds the per-partition
+        # threshold still plan sort-merge, so the OOM-safety fallback is
+        # intact at cluster scale. Measured r7 at sf1.0 (interleaved
+        # A/B, med of 4): q3 1.51->1.16, q5 2.66->1.68, q18 1.41->1.16,
+        # q12 1.01->0.94; no query slower.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # heap scales with task slots: local mode concentrates ALL task
         # buffers (shuffle, dynamic-partition parquet writers, Arrow
         # feeds) in the one driver JVM — measured: 60 KB-page extraction

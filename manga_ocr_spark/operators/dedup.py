@@ -157,27 +157,54 @@ def minhash_signature_py(text: str | None, num_hashes: int = 16) -> list[int]:
     ]
 
 
-# gram -> FULL-WIDTH np.uint64[len(MINHASH_AB)] permuted-value vector
-# (always all 16 permutations, sliced per call — so concurrent
-# minhash_signature calls with different num_hashes share the cache
-# safely); worker-lifetime, capped (the 5-gram vocabulary of natural
-# text is heavy-tailed, so the cap keeps the hot head resident without
-# unbounded growth)
-_MINHASH_VEC_CACHE: dict[str, "np.ndarray"] = {}
+# gram (UTF-32-LE bytes) -> FULL-WIDTH np.uint64[len(MINHASH_AB)]
+# permuted-value vector (always all 16 permutations, sliced per call — so
+# concurrent minhash_signature calls with different num_hashes share the
+# cache safely); worker-lifetime, capped (the 5-gram vocabulary of
+# natural text is heavy-tailed, so the cap keeps the hot head resident
+# without unbounded growth)
+_MINHASH_VEC_CACHE: dict[bytes, "np.ndarray"] = {}
 _MINHASH_VEC_CACHE_CAP = 1 << 19
+
+
+def _minhash_vec(key: bytes) -> "np.ndarray":
+    """Permuted-value vector for one gram, cached. ``key`` is the gram's
+    UTF-32-LE byte string (fixed 4 bytes/char — the batch kernel's native
+    window form; injective per gram)."""
+    import hashlib
+
+    cache = _MINHASH_VEC_CACHE
+    v = cache.get(key)
+    if v is None:
+        b = int(
+            hashlib.md5(key.decode("utf-32-le").encode("utf-8")).hexdigest()[:15], 16
+        )
+        # exact Python ints (a*b is ~2^121 — no uint64 overflow path);
+        # cache the FULL 16-wide vector, slice per call
+        v = np.array([(a * b + bb) % MINHASH_P for a, bb in MINHASH_AB], dtype=np.uint64)
+        if len(cache) < _MINHASH_VEC_CACHE_CAP:
+            cache[key] = v
+    return v
 
 
 def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as array<long> via an Arrow-batched pandas UDF.
 
-    Map-side only (no shuffle). Vectorized across the batch: grams from
-    all docs are flattened, deduped with np.unique, and each DISTINCT
-    gram gets its (md5 base -> ``num_hashes`` affine permutations) vector
-    exactly once per batch — cached across batches up to a cap. The
-    per-doc signature is then one ``np.minimum.at`` segment-min, no
-    per-gram Python in the hot path. Bit-identical to
-    :func:`minhash_signature_py` (pinned by test) and portable to the
-    DuckDB oracle.
+    Map-side only (no shuffle). Vectorized across the batch (r7 kernel,
+    guide §4.2 — hand whole batches to native code): each canonicalized
+    text is encoded once to fixed-width UTF-32 and its 5-gram windows are
+    numpy stride views — NO per-gram Python substring is ever built (the
+    r6 kernel sliced ~len(text) Python strings per doc and np.unique'd an
+    object array; this one unique's a (total_grams, 20-byte) void array
+    with C memcmp). Per-doc dedup of grams is deliberately skipped:
+    duplicate grams cannot change a min, so the signature is unchanged
+    (the r6/_grams_py dedup only saved object-array width). Each DISTINCT
+    gram (across the whole batch) gets its (md5 base -> ``num_hashes``
+    affine permutations) vector exactly once — cached across batches up
+    to a cap — and per-doc signatures are contiguous-segment mins
+    (``np.minimum.reduceat``, much faster than the r6 ``np.minimum.at``
+    scatter). Bit-identical to :func:`minhash_signature_py` (pinned by
+    test) and portable to the DuckDB oracle.
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -186,30 +213,37 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        cache = _MINHASH_VEC_CACHE
-        gram_lists = [_grams_py(_canon_py(t)) for t in texts]
-        n = len(gram_lists)
-        lens = np.fromiter((len(g) for g in gram_lists), dtype=np.int64, count=n)
-        flat = np.asarray([g for gs in gram_lists for g in gs], dtype=object)
-        uniq, inv = np.unique(flat, return_inverse=True)
-        vecs = np.empty((len(uniq), num_hashes), dtype=np.uint64)
-        for j, g in enumerate(uniq):
-            v = cache.get(g)
-            if v is None:
-                b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                # exact Python ints (a*b is ~2^121 — no uint64 overflow
-                # path); cache the FULL 16-wide vector, slice per call
-                v = np.array(
-                    [(a * b + bb) % MINHASH_P for a, bb in MINHASH_AB], dtype=np.uint64
-                )
-                if len(cache) < _MINHASH_VEC_CACHE_CAP:
-                    cache[g] = v
-            vecs[j] = v[:num_hashes]
+        n = len(texts)
         out = np.full((n, num_hashes), np.uint64(_MINHASH_EMPTY), dtype=np.uint64)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        np.minimum.at(out, doc_idx, vecs[inv])
+        win_parts: list[np.ndarray] = []   # (m_i, 5) uint32 per long doc
+        long_rows: list[int] = []          # row index per long doc
+        long_lens: list[int] = []          # m_i per long doc
+        short_rows: list[tuple[int, bytes]] = []  # (row, gram utf-32 bytes)
+        for i, t in enumerate(texts):
+            c = _canon_py(t)
+            if len(c) >= 5:
+                buf = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+                w = np.lib.stride_tricks.sliding_window_view(buf, 5)
+                win_parts.append(w)
+                long_rows.append(i)
+                long_lens.append(len(w))
+            else:
+                # exactly _grams_py's short form: ONE gram = the whole
+                # (possibly empty) string — c[0:5] of a <5-char c is c
+                short_rows.append((i, c.encode("utf-32-le")))
+        if win_parts:
+            allw = np.ascontiguousarray(np.concatenate(win_parts))
+            voids = allw.view(np.dtype((np.void, 20))).ravel()
+            uniq, inv = np.unique(voids, return_inverse=True)
+            vecs = np.empty((len(uniq), num_hashes), dtype=np.uint64)
+            for j, u in enumerate(uniq):
+                vecs[j] = _minhash_vec(u.tobytes())[:num_hashes]
+            gathered = vecs[inv]
+            starts = np.zeros(len(long_lens), dtype=np.int64)
+            np.cumsum(long_lens[:-1], out=starts[1:])
+            out[long_rows] = np.minimum.reduceat(gathered, starts, axis=0)
+        for i, key in short_rows:
+            out[i] = _minhash_vec(key)[:num_hashes]
         o = out.astype(np.int64)
         return pd.Series([row.tolist() for row in o])
 
@@ -260,53 +294,47 @@ def exact_rep_map(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 #
 # r6 shape: ONE pass over the text computes the exact-dup fingerprint AND
 # the near-dup signature side by side (the signature UDF already scans
-# every byte; the JVM md5 rides along for free), materialized once. Every
-# downstream consumer — rep_map, the rep filter, banding, the cap — derives
-# from that narrow (id, fingerprint, sig) frame, so:
-#   * the text is scanned exactly once (the r5 form scanned it twice:
-#     fingerprint pass + signature pass after the rep semi-join);
-#   * the text NEVER shuffles — the r5 rep semi-join shipped full text
-#     rows to co-locate them with the rep-id list, which at 100 TB is the
-#     dominant cost; here only fingerprints/signatures move;
-#   * one localCheckpoint job replaces the r5 rep_map + signature pair.
-# Cost accepted: duplicate members get signed too (the r5 form signed reps
-# only). The per-batch gram/vector caches make an identical doc's
-# signature a cache-hit re-min, and at any realistic dup fraction that is
-# cheaper than re-scanning and shuffling the text.
+# every byte; the JVM md5 rides along for free), materialized once.
+#
+# r7 shape: the exact-dup collapse is ONE window over that pass —
+# ``rep_id = min(id) over (partition by fingerprint)`` — materialized as
+# (id, rep_id, sig). The r6 form derived rep_map (groupBy + join back on
+# fingerprint) and rep_rows (a second groupBy with first(sig)) as three
+# separate shuffled scans of a base checkpoint, and the cap branch re-ran
+# the rep_rows aggregate a second time (measured plan: two SortAggregate
+# chains over the base). The window computes BOTH in one
+# Exchange(fingerprint)+sort:
+#   * rep_map  = project (id, rep_id);
+#   * rep_rows = filter id == rep_id (the min-id row carries ITS OWN sig,
+#     equal to the r6 first(sig) because identical fingerprint means
+#     identical text means identical signature).
+# Skew profile is unchanged: the r6 join back also hash-partitioned every
+# (id, fingerprint) row by fingerprint, so a hot exact-dup group landed on
+# one reducer either way — the rows are narrow in both forms; the window
+# just stops paying for the same shuffle three times.
+# The other r6 properties hold:
+#   * the text is scanned exactly once and NEVER shuffles — only
+#     (id, fingerprint, sig) rows move;
+#   * one localCheckpoint job (UDF pass + the one collapse shuffle)
+#     replaces r6's eager base checkpoint + lazy rep_map checkpoint.
 
 
-def _fused_base(
+def _fused_rep_base(
     df: DataFrame, text_col: str, id_col: str, sig: Column, sig_name: str, materialize: bool
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     base = df.select(
         F.col(id_col),
         _fingerprint_nn(F.col(text_col)).alias("fingerprint"),
         sig.alias(sig_name),
     )
-    # the ONLY job that touches text; everything downstream reads this
-    return base.localCheckpoint() if materialize else base
-
-
-def _rep_map_from_base(base: DataFrame, id_col: str, materialize: bool) -> DataFrame:
-    """(id, rep_id) derived from the fused base. With ``materialize`` it
-    is LAZILY localCheckpointed: consumers that never evaluate it (the
-    pairs-only production path) pay nothing, while multi-consumer paths
-    (expand_rep_pairs joins it four times) evaluate the groupBy+join
-    once and scan the materialized blocks after."""
-    reps = base.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
-    rm = base.select(id_col, "fingerprint").join(reps, "fingerprint").select(id_col, "rep_id")
-    return rm.localCheckpoint(eager=False) if materialize else rm
-
-
-def _rep_rows(base: DataFrame, id_col: str, sig_name: str) -> DataFrame:
-    """One representative (min-id) row per fingerprint group, signature
-    included — ONE shuffle, no join back: identical fingerprint means
-    identical canonicalized text means an IDENTICAL signature (both are
-    pure functions of it), so ``first(sig)`` within the group is
-    deterministic and equal to the min-id row's signature."""
-    return base.groupBy("fingerprint").agg(
-        F.min(id_col).alias(id_col), F.first(sig_name).alias(sig_name)
+    w = Window.partitionBy("fingerprint")
+    wbase = base.select(
+        F.col(id_col), F.min(id_col).over(w).alias("rep_id"), F.col(sig_name)
     )
+    # the ONLY job that touches text; everything downstream reads this
+    return wbase.localCheckpoint() if materialize else wbase
 
 
 def minhash_lsh_buckets(
@@ -408,6 +436,24 @@ def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
     )
 
 
+def _drop_oversized(buckets: DataFrame, dropped: DataFrame) -> DataFrame:
+    """Remove capped buckets via a left-anti BROADCAST join against the
+    (tiny) oversized list. r7 replacement for the keep-side semi join of
+    :func:`_cap_buckets` on the guarded tiers: at 10^12 docs the
+    keep-list is essentially EVERY bucket key (billions of rows — a semi
+    join degrades to shuffling the bucket rows a second time), while the
+    capped list is the rare degenerate tail the cap exists for — so ship
+    the exception list, not the rule. The count aggregate feeding
+    ``dropped`` still runs with map-side partial aggregation over narrow
+    (band, band_key) rows, so a mega-bucket never concentrates rows
+    anywhere before it is counted. Same kept set: n <= cap vs n > cap
+    partition the bucket keys, and band keys are never NULL (md5 of a
+    non-null string / a bit-slice of a non-null long)."""
+    return buckets.join(
+        F.broadcast(dropped.select("band", "band_key")), ["band", "band_key"], "left_anti"
+    )
+
+
 def lsh_guarded_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -461,16 +507,21 @@ def lsh_guarded_with_drops(
     nothing was capped). Jobs MUST aggregate ``dropped`` into their
     metrics sink (see jobs/neardedup.py) — a capped mega-cluster is lost
     recall, and lost recall has to be a counter, never silence. Derived
-    lazily from the fused base, so observing it re-scans only narrow
-    checkpointed rows."""
-    base = _fused_base(
+    from the fused rep base, so observing it re-scans only narrow
+    checkpointed rows. ``max_bucket_size=None`` (uncapped) is a TEST-ONLY
+    escape hatch for equivalence pins: it routes unbounded buckets into
+    the in-array pair expansion, so production callers must keep
+    :data:`LSH_MAX_BUCKET` (or tighter) as the floor (jobs/neardedup.py
+    cannot pass None)."""
+    wbase = _fused_rep_base(
         df, text_col, id_col, minhash_signature(F.col(text_col), num_hashes), "sig", materialize
     )
-    rep_map = _rep_map_from_base(base, id_col, materialize)
-    raw_buckets = _minhash_band_explode(_rep_rows(base, id_col, "sig"), id_col, num_hashes, bands)
+    rep_map = wbase.select(F.col(id_col), F.col("rep_id"))
+    rep_rows = wbase.filter(F.col(id_col) == F.col("rep_id")).select(F.col(id_col), "sig")
+    raw_buckets = _minhash_band_explode(rep_rows, id_col, num_hashes, bands)
     if max_bucket_size is not None:
-        kept = _cap_buckets(raw_buckets, max_bucket_size)
         dropped = oversized_buckets(raw_buckets, max_bucket_size)
+        kept = _drop_oversized(raw_buckets, dropped)
     else:
         kept = raw_buckets
         dropped = oversized_buckets(raw_buckets.limit(0), 0)
@@ -929,15 +980,22 @@ def simhash_guarded_with_drops(
     band_key, n) frame of buckets the cap removed. The rule is the same
     on every guarded tier: a capped mega-cluster is lost recall, and lost
     recall has to be a counter, never silence — jobs aggregate ``dropped``
-    into their metrics sink."""
+    into their metrics sink. ``max_bucket_size=None`` (uncapped) is a
+    TEST-ONLY escape hatch for equivalence pins: it routes unbounded
+    buckets into the in-array pair expansion, so production callers must
+    keep :data:`LSH_MAX_BUCKET` (or tighter) as the floor
+    (jobs/neardedup.py cannot pass None)."""
     if 64 % bands != 0:
         raise ValueError(f"bands={bands} must divide 64")
-    base = _fused_base(df, text_col, id_col, simhash_col(F.col(text_col)), "simhash", materialize)
-    rep_map = _rep_map_from_base(base, id_col, materialize)
-    raw_buckets = _simhash_band_explode(_rep_rows(base, id_col, "simhash"), id_col, bands)
+    wbase = _fused_rep_base(
+        df, text_col, id_col, simhash_col(F.col(text_col)), "simhash", materialize
+    )
+    rep_map = wbase.select(F.col(id_col), F.col("rep_id"))
+    rep_rows = wbase.filter(F.col(id_col) == F.col("rep_id")).select(F.col(id_col), "simhash")
+    raw_buckets = _simhash_band_explode(rep_rows, id_col, bands)
     if max_bucket_size is not None:
-        buckets = _cap_buckets(raw_buckets, max_bucket_size)
         dropped = oversized_buckets(raw_buckets.drop("simhash"), max_bucket_size)
+        buckets = _drop_oversized(raw_buckets, dropped)
     else:
         buckets = raw_buckets
         dropped = oversized_buckets(raw_buckets.drop("simhash").limit(0), 0)

@@ -56,26 +56,59 @@ def cosine_topk(
     to be small and is broadcast — the corpus is never shuffled; each task
     scans its corpus split against all queries (classic brute-force ANN
     sharding).
+
+    Norms are bound BEFORE the pair join (r7): each side's ``sqrt(sum
+    v*v))`` fold runs once per VECTOR instead of once per (query, corpus)
+    pair — with Q queries that deletes (Q-1)/Q of the corpus-side norm
+    folds and all but one of each query's. ``cos = dot/(qn*cn)`` is
+    bit-identical to the inline form (same folds, same multiply/divide
+    order), so the 6-decimal rounding contract with the oracle is
+    untouched.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# (seed, dim, bits, bands) -> hyperplane matrix, built once per python
+# WORKER process instead of once per Arrow batch (r7): _mix is exact
+# integer math in interpreted Python — bands*bits*dim calls (~4k at the
+# bench setting) cost ~ms per batch, pure overhead after the first
+# batch. Deterministic, so a cached copy is identical by construction.
+_PLANES_CACHE: dict[tuple[int, int, int, int], "np.ndarray"] = {}
+
+
+def _plane_matrix(seed: int, dim: int, bits: int, bands: int = 1) -> "np.ndarray":
+    key = (seed, dim, bits, bands)
+    planes = _PLANES_CACHE.get(key)
+    if planes is None:
+        planes = np.array(
+            [
+                [_mix(seed + band, b, j) for j in range(dim)]
+                for band in range(bands)
+                for b in range(bits)
+            ]
+        )  # (bands*bits, dim)
+        _PLANES_CACHE[key] = planes
+    return planes
 
 
 def _mix(seed: int, b: int, j: int) -> float:
@@ -103,9 +136,7 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     """
     @F.pandas_udf(LongType())
     def _sig(vs: pd.Series) -> pd.Series:
-        planes = np.array(
-            [[_mix(seed, b, j) for j in range(dim)] for b in range(bits)]
-        )  # (bits, dim)
+        planes = _plane_matrix(seed, dim, bits)  # (bits, dim), worker-cached
         arr = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
         dots = arr @ planes.T  # (n, bits)
         weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
@@ -131,13 +162,7 @@ def hyperplane_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sigs(vs: pd.Series) -> pd.Series:
-        planes = np.array(
-            [
-                [_mix(seed + band, b, j) for j in range(dim)]
-                for band in range(bands)
-                for b in range(bits)
-            ]
-        )  # (bands*bits, dim)
+        planes = _plane_matrix(seed, dim, bits, bands)  # worker-cached
         arr = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
         signs = (arr @ planes.T > 0).reshape(len(arr), bands, bits)
         weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
@@ -237,14 +262,22 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("cn"),
     ).withColumn("cell", F.element_at(one(F.col("cv")), 1))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("qn"),
     ).withColumn("cell", F.explode(many(F.col("qv"))))
     pairs = c.join(F.broadcast(q), ["cell"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    # per-vector norms bound before the join (same r7 trick as
+    # cosine_topk / lsh_bucket_topk; dot/(qn*cn) is bit-identical)
     scored = pairs.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "cos"
+        ),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -278,9 +311,17 @@ def lsh_bucket_topk(
     join is map-side. The only shuffle is the dedup + top-k over CANDIDATE
     pairs, which banding keeps ~bands * N / 2^bits per query instead of N.
     """
+    # norms are bound in the SAME select as the band explode (r7): the
+    # Generate's child projection computes each vector's norm fold once
+    # per input row and replicates it across its band rows — so the
+    # per-pair score below is one dot fold, not three (the inline cosine
+    # re-folded both norms per candidate pair). dot/(qn*cn) is
+    # bit-identical to the inline form (same folds, same operation
+    # order), preserving the 6-decimal oracle contract.
     qsig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("qn"),
         F.posexplode(
             hyperplane_signatures(F.col(vec_col).cast("array<double>"), dim, bits, bands)
         ).alias("band", "bucket"),
@@ -288,6 +329,7 @@ def lsh_bucket_topk(
     csig = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("cn"),
         F.posexplode(
             hyperplane_signatures(F.col(vec_col).cast("array<double>"), dim, bits, bands)
         ).alias("band", "bucket"),
@@ -304,7 +346,9 @@ def lsh_bucket_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "cos"
+        ),
     )
     dedup = scored.groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

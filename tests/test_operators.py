@@ -683,3 +683,47 @@ def test_astral_scripts_fall_through_to_marker_tier(spark):
     # units of Ext B -> still >= 25% -> zh (the BMP tier keeps working
     # in the presence of astral padding)
     assert out[2] == "zh"
+
+
+def test_layered_marker_counts_match_marker_count(spark):
+    # r7: the layered forms count marker words from ONE \w+ scan
+    # (_marker_word_col) instead of 13 \b(..|..)\b alternation scans.
+    # Equivalence claim: \b is defined by the same ASCII \w class, so a
+    # marker word matches with boundaries iff it is a MAXIMAL \w+ run.
+    # Pin it on hostile inputs: punctuation-adjacent words, underscores
+    # (word chars — must NOT split), digits, non-ASCII letters adjacent
+    # to markers (non-word in Java's default \w — MUST split), repeats,
+    # markers embedded inside longer words (must not count), NULL/empty.
+    texts = [
+        "the-and.of,the;and",          # punctuation boundaries: the=2 and=2 of=1
+        "_the_ and_ the_x x_the",      # underscores join runs: only 'and_'..no; and_ is run 'and_' -> 0
+        "über the façade und el",      # non-ASCII neighbors split runs
+        "theory of android bandofthe", # embedded markers must not count
+        "THE And oF",                  # lower() applies on both paths
+        "le la et le le",              # repeats
+        "",                            # empty
+        None,                          # NULL
+        "der123 der 123der der",       # digit-joined runs don't count
+    ]
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id int, text string",
+    )
+    text = F.col("text")
+    old = df.select(
+        "doc_id",
+        *[
+            T.marker_count(text, ws).alias(f"old_{lang}")
+            for lang, ws in T.LANG_MARKERS.items()
+        ],
+    )
+    new = df.select(
+        "doc_id", T._marker_word_col(text).alias("__mwords")
+    ).select("doc_id", *T._marker_count_cols(F.col("__mwords")))
+    got_old = {r.doc_id: tuple(r[1:]) for r in old.collect()}
+    got_new = {r.doc_id: tuple(r[1:]) for r in new.collect()}
+    assert got_old == got_new
+    # sanity: the hostile rows actually exercise non-zero counts
+    assert any(any(v) for v in got_old.values())

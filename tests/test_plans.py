@@ -216,12 +216,13 @@ def test_warc_range_sort_is_narrow(spark):
 
 
 def test_guarded_candidates_fused_base_and_materialized_join(spark):
-    # r6 fused guard: ONE pass over the text computes the exact-dup md5
+    # r7 fused guard: ONE pass over the text computes the exact-dup md5
     # fingerprint AND the signature side by side (text scanned once,
-    # never shuffled), and the materialized pair plan scans only the
-    # checkpointed capped buckets.
+    # never shuffled), ONE window shuffle collapses exact-dup groups to
+    # rep_id, and the materialized pair plan scans only that checkpointed
+    # (id, rep_id, sig) frame.
     from manga_ocr_spark.operators.dedup import (
-        _fused_base,
+        _fused_rep_base,
         lsh_guarded_candidates,
         minhash_signature,
         simhash_guarded_candidates,
@@ -234,34 +235,41 @@ def test_guarded_candidates_fused_base_and_materialized_join(spark):
         plan = _plan(pairs)
         assert "EvalPython" not in plan  # signatures ran at checkpoint time
         assert "Scan ExistingRDD" in plan
-        # r6: pairs come from a bounded in-bucket collect_list expansion,
-        # not a bucket self-join — a straight-line plan with no
-        # re-aliasing, so no second checkpoint is needed and nothing runs
-        # per-branch. The cap's count aggregate runs INSIDE this single
-        # evaluation with map-side partial aggregation (the skew-safety
-        # property: an uncapped mega-bucket never concentrates its rows).
+        # pairs come from a bounded in-bucket collect_list expansion, not
+        # a bucket self-join. The cap's count aggregate runs INSIDE this
+        # single evaluation with map-side partial aggregation (the
+        # skew-safety property: an uncapped mega-bucket never concentrates
+        # its rows), and the capped buckets are removed by a left-anti
+        # BROADCAST of the tiny oversized list — never a second shuffle
+        # of the bucket rows (r7: the r6 keep-side semi join shipped the
+        # unbroadcastable-at-scale keep list instead).
         assert "collect_list" in plan
         assert "partial_count" in plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "CartesianProduct" not in plan
-        # only the cap's two branches read the base; the old self-join
-        # form added two more scans per pair branch
+        # only the cap's two branches read the rep base; the r6 form
+        # re-ran a first(sig) SortAggregate chain per branch on top
         assert plan.count("Scan ExistingRDD") <= 2
+        assert "SortAggregate" not in plan
 
-    # the base job is one shuffle-free scan carrying BOTH the md5
-    # fingerprint and the signature UDF — the fused single pass
-    base = _fused_base(docs, "text", "doc_id", minhash_signature(F.col("text")), "sig", False)
+    # the base job: the signature UDF + fingerprint md5 in one pass over
+    # the text, then EXACTLY ONE Exchange (the fingerprint window that
+    # attaches rep_id) — the r6 form spent three shuffled scans (rep_map
+    # groupBy + join back, rep_rows groupBy) on the same collapse
+    base = _fused_rep_base(
+        docs, "text", "doc_id", minhash_signature(F.col("text")), "sig", False
+    )
     bplan = _plan(base)
-    assert "Exchange" not in bplan
-    # the fingerprint md5 and the signature UDF both live in this single
-    # shuffle-free stage — one pass over the text (no per-line split: the
+    assert bplan.count("Exchange") == 1
+    assert "Window" in bplan
+    # the fingerprint md5 and the signature UDF both live below that
+    # single exchange — one pass over the text (no per-line split: the
     # whitespace-class literal embeds a real newline in the plan print)
     assert "ArrowEvalPython" in bplan and "md5" in bplan
 
-    # lazy form still exposes the full lineage (UDF + collapse aggregate
-    # both present). NOTE: in the lazy plan Catalyst's column pruning
-    # legitimately splits the fused project per join branch — the single
-    # shared pass is realized by the base checkpoint, which is why
-    # materialize=True is the production form.
+    # lazy form still exposes the full lineage (UDF + window collapse
+    # both present). materialize=True remains the production form: the
+    # checkpoint realizes the shared pass for every downstream branch.
     pairs_lazy, _ = lsh_guarded_candidates(docs, materialize=False)
     plan2 = _plan(pairs_lazy)
-    assert "ArrowEvalPython" in plan2 and "partial_min" in plan2
+    assert "ArrowEvalPython" in plan2 and "Window" in plan2
