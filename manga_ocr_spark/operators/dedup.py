@@ -210,6 +210,9 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
 
     if num_hashes > len(MINHASH_AB):
         raise ValueError(f"num_hashes={num_hashes} exceeds {len(MINHASH_AB)} constants")
+    cached = _UDF_CACHE.get(("minhash", num_hashes))
+    if cached is not None:
+        return cached(col)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
@@ -247,6 +250,7 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
         o = out.astype(np.int64)
         return pd.Series([row.tolist() for row in o])
 
+    _UDF_CACHE[("minhash", num_hashes)] = _sig
     return _sig(col)
 
 
@@ -270,6 +274,12 @@ LSH_MAX_BUCKET = 64
 # with the unguarded tier, where every NULL/empty doc shares the
 # empty-gram signature and therefore every band.
 _NULL_FP = "__null__"
+
+# memoized pandas-UDF wrappers (keyed by their closure parameters): a
+# @pandas_udf declaration costs driver-side py4j round trips per call
+# site, and the wrapped function is parameter-identical across calls —
+# construction caching only, execution is untouched
+_UDF_CACHE: dict[tuple, object] = {}
 
 
 def _fingerprint_nn(col: Column) -> Column:
@@ -391,22 +401,27 @@ def _minhash_band_explode(
 ) -> DataFrame:
     """(id, sig) -> (id, band, band_key): md5 over each of ``bands`` equal
     signature slices. Pure codegen expressions — no UDF, no shuffle."""
-    rows = num_hashes // bands
-    bands_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")
-                    ),
-                    ",",
-                )
-            ).alias("band_key"),
-        ),
-    )
-    return sig.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
+    key = ("mh_bands", num_hashes, bands)
+    exploded = _UDF_CACHE.get(key)
+    if exploded is None:
+        rows = num_hashes // bands
+        bands_expr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_key"),
+            ),
+        )
+        exploded = _UDF_CACHE[key] = F.explode(bands_expr).alias("bk")
+    return sig.select(F.col(id_col), exploded).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
@@ -550,34 +565,39 @@ def _pairs_within_buckets(
     verify); without it pairs are bare (id_a, id_b) (the MinHash tier —
     Jaccard verification happens downstream on text).
     """
-    if sig_col is None:
-        grouped = kept.groupBy("band", "band_key").agg(
-            F.sort_array(F.collect_list(F.col(id_col))).alias("ms")
-        )
-        make = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))
-        out_cols = ["p.id_a", "p.id_b"]
-    else:
-        grouped = kept.groupBy("band", "band_key").agg(
-            F.sort_array(
+    key = ("pairs_expr", id_col, sig_col)
+    cached = _UDF_CACHE.get(key)
+    if cached is None:
+        if sig_col is None:
+            agg = F.sort_array(F.collect_list(F.col(id_col))).alias("ms")
+            make = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))
+            out_cols = ["p.id_a", "p.id_b"]
+        else:
+            agg = F.sort_array(
                 F.collect_list(F.struct(F.col(id_col), F.col(sig_col)))
             ).alias("ms")
+            make = lambda x, y: F.struct(
+                x[id_col].alias("id_a"),
+                y[id_col].alias("id_b"),
+                F.bit_count(x[sig_col].bitwiseXOR(y[sig_col])).alias("hamming"),
+            )
+            out_cols = ["p.id_a", "p.id_b", "p.hamming"]
+        ms = F.col("ms")
+        pair_arr = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)), lambda y: make(x, y)
+                ),
+            )
         )
-        make = lambda x, y: F.struct(
-            x[id_col].alias("id_a"),
-            y[id_col].alias("id_b"),
-            F.bit_count(x[sig_col].bitwiseXOR(y[sig_col])).alias("hamming"),
-        )
-        out_cols = ["p.id_a", "p.id_b", "p.hamming"]
-    ms = F.col("ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda y: make(x, y)),
-        )
-    )
+        cached = _UDF_CACHE[key] = (agg, F.explode(pair_arr).alias("p"), out_cols)
+    agg, exploded, out_cols = cached
     return (
-        grouped.filter(F.size("ms") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
+        kept.groupBy("band", "band_key")
+        .agg(agg)
+        .filter(F.size("ms") >= 2)
+        .select(exploded)
         .select(*out_cols)
         .distinct()
     )
@@ -852,6 +872,10 @@ def simhash_col(col: Column) -> Column:
     """
     from pyspark.sql.types import LongType
 
+    cached = _UDF_CACHE.get(("simhash",))
+    if cached is not None:
+        return cached(col)
+
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
@@ -882,6 +906,7 @@ def simhash_col(col: Column) -> Column:
         sigs = np.packbits(bits, axis=1).view(">u8").astype(np.uint64).reshape(n)
         return pd.Series(sigs.view(np.int64))
 
+    _UDF_CACHE[("simhash",)] = _simhash
     return _simhash(col)
 
 
@@ -894,20 +919,24 @@ def _simhash_band_explode(sig: DataFrame, id_col: str, bands: int) -> DataFrame:
     """(id, simhash) -> (id, simhash, band, band_key): ``bands`` equal
     bit-slices of the signature, band 0 the MOST significant. Bands are
     unrolled in Python — shift amounts must be literals."""
-    width = 64 // bands
-    bands_expr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), (bands - 1 - i) * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("band_key"),
-            )
-            for i in range(bands)
-        ]
-    )
+    key = ("sh_bands", bands)
+    exploded = _UDF_CACHE.get(key)
+    if exploded is None:
+        width = 64 // bands
+        bands_expr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), (bands - 1 - i) * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("band_key"),
+                )
+                for i in range(bands)
+            ]
+        )
+        exploded = _UDF_CACHE[key] = F.explode(bands_expr).alias("bk")
     return sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(bands_expr).alias("bk")
+        F.col(id_col), F.col("simhash"), exploded
     ).select(
         id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )

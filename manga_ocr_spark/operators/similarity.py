@@ -95,6 +95,11 @@ def cosine_topk(
 # batch. Deterministic, so a cached copy is identical by construction.
 _PLANES_CACHE: dict[tuple[int, int, int, int], "np.ndarray"] = {}
 
+# memoized pandas-UDF wrappers keyed by their closure parameters —
+# construction caching only (a @pandas_udf declaration costs driver-side
+# py4j round trips; the wrapped function is parameter-identical)
+_UDF_CACHE: dict[tuple, object] = {}
+
 
 def _plane_matrix(seed: int, dim: int, bits: int, bands: int = 1) -> "np.ndarray":
     key = (seed, dim, bits, bands)
@@ -134,6 +139,10 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     ~10x slower; sign tests over dense vectors are exactly what vectorized
     UDFs are for.
     """
+    cached = _UDF_CACHE.get(("sig", dim, bits, seed))
+    if cached is not None:
+        return cached(vec)
+
     @F.pandas_udf(LongType())
     def _sig(vs: pd.Series) -> pd.Series:
         planes = _plane_matrix(seed, dim, bits)  # (bits, dim), worker-cached
@@ -142,6 +151,7 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
         weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
         return pd.Series(((dots > 0) @ weights).astype(np.int64))
 
+    _UDF_CACHE[("sig", dim, bits, seed)] = _sig
     return _sig(vec)
 
 
@@ -160,6 +170,10 @@ def hyperplane_signatures(
 
     from pyspark.sql.types import ArrayType
 
+    cached = _UDF_CACHE.get(("sigs", dim, bits, bands, seed))
+    if cached is not None:
+        return cached(vec)
+
     @F.pandas_udf(ArrayType(LongType()))
     def _sigs(vs: pd.Series) -> pd.Series:
         planes = _plane_matrix(seed, dim, bits, bands)  # worker-cached
@@ -169,6 +183,7 @@ def hyperplane_signatures(
         sigs = (signs @ weights).astype(np.int64)  # (n, bands)
         return pd.Series(list(sigs))
 
+    _UDF_CACHE[("sigs", dim, bits, bands, seed)] = _sigs
     return _sigs(vec)
 
 

@@ -341,6 +341,18 @@ def _marker_count_cols(mwords: Column) -> list[Column]:
     ]
 
 
+# (builder-name, text_col, id_col) -> per-layer Column lists. Column
+# objects are immutable, UNRESOLVED expression trees bound by NAME — they
+# carry no DataFrame reference, so the same list is valid for every
+# input frame and every plan (analysis resolves them per-query). Building
+# the panel's ~40 wide expressions costs ~5,800 py4j round-trips (~1.2 s
+# profiled — more than the panel's whole execution at sf0.1); memoizing
+# the lists turns every later build into a handful of select() calls.
+# This caches CONSTRUCTION only: each call still returns a fresh plan
+# that is analyzed, optimized and executed from the parquet inputs.
+_COL_CACHE: dict[tuple, list] = {}
+
+
 def lang_id_frame(df, text_col: str = "text", id_col: str = "doc_id"):
     """lang_id as a LAYERED two-select frame — the form for table-scale
     scans. The single-expression :func:`lang_id` duplicates each count
@@ -356,29 +368,35 @@ def lang_id_frame(df, text_col: str = "text", id_col: str = "doc_id"):
     short-circuit skips those regexes row-wise on pure-ASCII probes.
 
     Output: (id, lang_pred) — identical values to :func:`lang_id`."""
-    rule_scripts = {s for _, scripts, _ in SCRIPT_LANG_RULES for s in scripts}
-    used = [s for s in SCRIPT_RANGES if s in rule_scripts]
-    text = F.col(text_col)
-    s0 = df.select(
-        F.col(id_col),
-        text,
-        *_probe_layer_cols(text),
-        _marker_word_col(text).alias("__mwords"),
-    )
-    s1 = s0.select(
-        F.col(id_col),
-        "__plen",
-        *_guarded_script_count_cols(used),
-        *_marker_count_cols(F.col("__mwords")),
-    )
-    return s1.select(
-        F.col(id_col),
-        _lang_from_counts(
-            {s: F.col(f"__sc_{s}") for s in used},
-            {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},
+    key = ("lang_id_frame", text_col, id_col)
+    layers = _COL_CACHE.get(key)
+    if layers is None:
+        rule_scripts = {s for _, scripts, _ in SCRIPT_LANG_RULES for s in scripts}
+        used = [s for s in SCRIPT_RANGES if s in rule_scripts]
+        text = F.col(text_col)
+        c0 = [
+            F.col(id_col),
+            text,
+            *_probe_layer_cols(text),
+            _marker_word_col(text).alias("__mwords"),
+        ]
+        c1 = [
+            F.col(id_col),
             F.col("__plen"),
-        ).alias("lang_pred"),
-    )
+            *_guarded_script_count_cols(used),
+            *_marker_count_cols(F.col("__mwords")),
+        ]
+        c2 = [
+            F.col(id_col),
+            _lang_from_counts(
+                {s: F.col(f"__sc_{s}") for s in used},
+                {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},
+                F.col("__plen"),
+            ).alias("lang_pred"),
+        ]
+        layers = _COL_CACHE[key] = [c0, c1, c2]
+    c0, c1, c2 = layers
+    return df.select(*c0).select(*c1).select(*c2)
 
 
 def _lang_from_counts(
@@ -577,100 +595,107 @@ def quality_panel(df, text_col: str = "text", id_col: str = "doc_id"):
     Catalyst's CollapseProject leaves this layering alone precisely
     because the aliases are non-cheap and multi-referenced;
     tests/test_plans.py pins the zero-Exchange single-scan shape."""
-    text = F.col(text_col)
-    # layer 0: the script-tier probe window and its ASCII short-circuit —
-    # non-cheap, multi-referenced aliases, so CollapseProject keeps them
-    # as bound columns and the rlike runs once per row, not once per
-    # script
-    s0 = df.select(
-        F.col(id_col),
-        text,
-        *_probe_layer_cols(text),
-        _marker_word_col(text).alias("__mwords"),
-    )
-    # layer 1: per-row primitives, each computed once per row; script
-    # counts are guarded — a pure-ASCII probe proves the non-latin ones
-    # 0 and their regexes are skipped for that row (lazy CASE branches);
-    # marker counts read the single-scan __mwords array (one \w+ pass
-    # instead of 13 per-language alternation scans)
-    s1 = s0.select(
-        F.col(id_col),
-        F.length(text).alias("__n"),
-        "__plen",
-        F.length(F.trim(text)).alias("__trimlen"),
-        tokens(text).alias("__toks"),
-        _alnum_count(text).alias("__alnum"),
-        *_guarded_script_count_cols(SCRIPT_RANGES),
-        *_marker_count_cols(F.col("__mwords")),
-    )
-    # layer 2: token-array derivatives (reference __toks several times);
-    # the repetition inputs are bound as SORTED HASH arrays so layer 3's
-    # fold and size() hit a BoundReference, never re-evaluate the
-    # filter/zip_with pipelines (this Project is CodegenFallback — a
-    # repeated subtree would genuinely run twice per row)
-    tk = F.col("__toks")
-    s2 = s1.select(
-        F.col(id_col),
-        "__n",
-        "__plen",
-        "__trimlen",
-        "__alnum",
-        *[f"__sc_{s}" for s in SCRIPT_RANGES],
-        *[f"__mc_{lang}" for lang in LANG_MARKERS],
-        F.size(tk).alias("__ntok"),
-        _stop_count(tk).alias("__nstop"),
-        _token_len_sum(tk).alias("__toklen"),
-        F.array_sort(
-            F.transform(
-                F.filter(tk, lambda t: F.length(t) > 0), lambda g: F.xxhash64(g)
-            )
-        ).alias("__uni_h"),
-        F.array_sort(word_bigram_hashes_from_tokens(tk)).alias("__bi_h"),
-    )
-    # layer 3: final columns via the SAME count-parameterized helpers the
-    # standalone operators use — the definitions cannot drift
-    n = F.col("__n")
-    ntok = F.col("__ntok")
-    stop_ratio = _stop_ratio_from(F.col("__nstop"), ntok)
-    alpha = _alpha_ratio_from(F.col("__alnum"), n)
-    return s2.select(
-        F.col(id_col),
-        F.when(F.col("__trimlen") == 0, F.lit(0))
-        .otherwise(ntok)
-        .cast("long")
-        .alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        _mean_token_len_from(F.col("__toklen"), ntok).alias("mean_token_len"),
-        alpha.alias("alpha_ratio"),
-        _quality_from(n, stop_ratio, alpha).alias("quality"),
-        _lang_from_counts(
-            {s: F.col(f"__sc_{s}") for s in SCRIPT_RANGES},
-            {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},
+    key = ("quality_panel", text_col, id_col)
+    layers = _COL_CACHE.get(key)
+    if layers is None:
+        text = F.col(text_col)
+        # layer 0: the script-tier probe window and its ASCII
+        # short-circuit — non-cheap, multi-referenced aliases, so
+        # CollapseProject keeps them as bound columns and the rlike runs
+        # once per row, not once per script
+        c0 = [
+            F.col(id_col),
+            text,
+            *_probe_layer_cols(text),
+            _marker_word_col(text).alias("__mwords"),
+        ]
+        # layer 1: per-row primitives, each computed once per row; script
+        # counts are guarded — a pure-ASCII probe proves the non-latin
+        # ones 0 and their regexes are skipped for that row (lazy CASE
+        # branches); marker counts read the single-scan __mwords array
+        # (one alternation pass instead of 13 per-language scans)
+        c1 = [
+            F.col(id_col),
+            F.length(text).alias("__n"),
             F.col("__plen"),
-        ).alias("lang_pred"),
-        *[
-            F.round(
-                F.col(f"__sc_{s}") / F.greatest(F.col("__plen"), F.lit(1)), 6
-            ).alias(f"{s}_frac")
-            for s in SCRIPT_RANGES
-        ],
-        F.coalesce(
-            F.round(
-                _top_run_best(F.col("__uni_h"))
-                / F.greatest(F.size(F.col("__uni_h")), F.lit(1)),
-                6,
-            ),
-            F.lit(0.0),
-        ).alias("top_unigram_frac"),
-        F.coalesce(
-            F.round(
-                _top_run_best(F.col("__bi_h"))
-                / F.greatest(F.size(F.col("__bi_h")), F.lit(1)),
-                6,
-            ),
-            F.lit(0.0),
-        ).alias("top_bigram_frac"),
-    )
+            F.length(F.trim(text)).alias("__trimlen"),
+            tokens(text).alias("__toks"),
+            _alnum_count(text).alias("__alnum"),
+            *_guarded_script_count_cols(SCRIPT_RANGES),
+            *_marker_count_cols(F.col("__mwords")),
+        ]
+        # layer 2: token-array derivatives (reference __toks several
+        # times); the repetition inputs are bound as SORTED HASH arrays
+        # so layer 3's fold and size() hit a BoundReference, never
+        # re-evaluate the filter/zip_with pipelines (this Project is
+        # CodegenFallback — a repeated subtree would genuinely run twice
+        # per row)
+        tk = F.col("__toks")
+        c2 = [
+            F.col(id_col),
+            F.col("__n"),
+            F.col("__plen"),
+            F.col("__trimlen"),
+            F.col("__alnum"),
+            *[F.col(f"__sc_{s}") for s in SCRIPT_RANGES],
+            *[F.col(f"__mc_{lang}") for lang in LANG_MARKERS],
+            F.size(tk).alias("__ntok"),
+            _stop_count(tk).alias("__nstop"),
+            _token_len_sum(tk).alias("__toklen"),
+            F.array_sort(
+                F.transform(
+                    F.filter(tk, lambda t: F.length(t) > 0), lambda g: F.xxhash64(g)
+                )
+            ).alias("__uni_h"),
+            F.array_sort(word_bigram_hashes_from_tokens(tk)).alias("__bi_h"),
+        ]
+        # layer 3: final columns via the SAME count-parameterized helpers
+        # the standalone operators use — the definitions cannot drift
+        n = F.col("__n")
+        ntok = F.col("__ntok")
+        stop_ratio = _stop_ratio_from(F.col("__nstop"), ntok)
+        alpha = _alpha_ratio_from(F.col("__alnum"), n)
+        c3 = [
+            F.col(id_col),
+            F.when(F.col("__trimlen") == 0, F.lit(0))
+            .otherwise(ntok)
+            .cast("long")
+            .alias("n_tokens"),
+            stop_ratio.alias("stopword_ratio"),
+            _mean_token_len_from(F.col("__toklen"), ntok).alias("mean_token_len"),
+            alpha.alias("alpha_ratio"),
+            _quality_from(n, stop_ratio, alpha).alias("quality"),
+            _lang_from_counts(
+                {s: F.col(f"__sc_{s}") for s in SCRIPT_RANGES},
+                {lang: F.col(f"__mc_{lang}") for lang in LANG_MARKERS},
+                F.col("__plen"),
+            ).alias("lang_pred"),
+            *[
+                F.round(
+                    F.col(f"__sc_{s}") / F.greatest(F.col("__plen"), F.lit(1)), 6
+                ).alias(f"{s}_frac")
+                for s in SCRIPT_RANGES
+            ],
+            F.coalesce(
+                F.round(
+                    _top_run_best(F.col("__uni_h"))
+                    / F.greatest(F.size(F.col("__uni_h")), F.lit(1)),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("top_unigram_frac"),
+            F.coalesce(
+                F.round(
+                    _top_run_best(F.col("__bi_h"))
+                    / F.greatest(F.size(F.col("__bi_h")), F.lit(1)),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        ]
+        layers = _COL_CACHE[key] = [c0, c1, c2, c3]
+    c0, c1, c2, c3 = layers
+    return df.select(*c0).select(*c1).select(*c2).select(*c3)
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
