@@ -111,12 +111,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # let the planner pick shuffled-hash over sort-merge when its
         # size conditions (canBuildLocalHashMap + muchSmaller) hold —
-        # skips both sort passes; the guide's §3.1/§9 posture. Not a
-        # force: joins whose build side exceeds the per-partition
-        # threshold still plan sort-merge, so the OOM-safety fallback is
-        # intact at cluster scale. Measured r7 at sf1.0 (interleaved
-        # A/B, med of 4): q3 1.51->1.16, q5 2.66->1.68, q18 1.41->1.16,
-        # q12 1.01->0.94; no query slower.
+        # skips both sort passes; the optimization guide's recommended
+        # posture. Not a force: joins whose build side exceeds the
+        # per-partition threshold still plan sort-merge, so the
+        # OOM-safety fallback is intact at cluster scale. VERIFIED
+        # PLAN-NEUTRAL at sandbox scale (r7: every bench join is already
+        # a broadcast under the 64m threshold at sf0.1/sf1.0 with either
+        # setting — executed plans compared identical, so no local win
+        # is claimed); the setting matters where a dimension side
+        # exceeds broadcast but fits a per-partition hash map, i.e. at
+        # cluster scale.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # heap scales with task slots: local mode concentrates ALL task
         # buffers (shuffle, dynamic-partition parquet writers, Arrow

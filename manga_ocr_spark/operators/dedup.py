@@ -888,7 +888,11 @@ def simhash_col(col: Column) -> Column:
             return pd.Series(np.zeros(n, dtype=np.int64))
         flat = [tok for ts in tok_lists for tok in ts]
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        # factorize is hash-based (O(n)) — np.unique's comparison sort on
+        # an object array was the kernel's hottest line; vote order per
+        # doc is irrelevant (addition commutes), only the (codes,
+        # uniques) mapping matters
+        inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
         signs = np.empty((len(uniq), 64), dtype=np.int8)
         for j, tok in enumerate(uniq):
             s = cache.get(tok)
