@@ -30,28 +30,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def main() -> None:
-    only = set(sys.argv[1:])
+def build_headline_queries(spark, sf_dir: str, cpus: int) -> dict:
+    """The headline query builders, ONE copy shared by bench_extra and
+    tools/dump_plans_r07.py (bench.py keeps its own frozen copy — the
+    driver contract; keep this dict in lockstep with it)."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
-    from manga_ocr_spark.jobs.session import get_spark
     from manga_ocr_spark.operators import dedup as D
     from manga_ocr_spark.operators import similarity as S
     from manga_ocr_spark.operators import text as T
 
-    gate_probe, gate_quiet = B._wait_quiet(
-        int(os.environ.get("BENCH_HEADLINE_MAX_WAIT", "540")),
-        float(os.environ.get("BENCH_QUIET_TP", "1.15")),
-        quiet_load=float(os.environ.get("BENCH_QUIET_LOAD", "3.0")),
-    )
-    spark = get_spark(master=f"local[{CPUS}]")
-    spark.sparkContext.setLogLevel("ERROR")
-    canary = B._noise_canary(spark)
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
-    qs = {
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
+    SF_DIR = sf_dir
+    return {
         "q1_pricing_summary": lambda: E._q1_pricing(spark, SF_DIR),
         "q3_top_revenue": lambda: E._q3_top_revenue(spark, SF_DIR),
         "q5_region_revenue": lambda: E._q5_region_revenue(spark, SF_DIR),
@@ -75,6 +68,24 @@ def main() -> None:
         "lang_id": lambda: T.lang_id_frame(docs),
         "media_meta": lambda: E._q_media_meta(spark, SF_DIR),
     }
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    from manga_ocr_spark.jobs.session import get_spark
+
+    gate_probe, gate_quiet = B._wait_quiet(
+        int(os.environ.get("BENCH_HEADLINE_MAX_WAIT", "540")),
+        float(os.environ.get("BENCH_QUIET_TP", "1.15")),
+        quiet_load=float(os.environ.get("BENCH_QUIET_LOAD", "3.0")),
+    )
+    spark = get_spark(master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    canary = B._noise_canary(spark)
+    qs = build_headline_queries(spark, SF_DIR, CPUS)
+    unknown = only - qs.keys()
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)} — valid: {sorted(qs)}")
     runs = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     times, spreads = {}, {}
     for name, build in qs.items():

@@ -210,7 +210,7 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
 
     if num_hashes > len(MINHASH_AB):
         raise ValueError(f"num_hashes={num_hashes} exceeds {len(MINHASH_AB)} constants")
-    cached = _UDF_CACHE.get(("minhash", num_hashes))
+    cached = _UDF_CACHE.get(("minhash", num_hashes, _ctx_key()))
     if cached is not None:
         return cached(col)
 
@@ -227,6 +227,16 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
             if len(c) >= 5:
                 buf = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
                 w = np.lib.stride_tricks.sliding_window_view(buf, 5)
+                if len(w) > 65536:
+                    # degenerate-doc memory bound (r7 review): a multi-MB
+                    # repetitive doc would otherwise contribute len(c)
+                    # windows to the batch matrices (~150 B each through
+                    # the gather); dedup its windows per doc first — a
+                    # min is dedup-invariant, so the signature is
+                    # unchanged, and for spammy repeats distinct << raw
+                    w = np.unique(
+                        np.ascontiguousarray(w).view(np.dtype((np.void, 20)))
+                    ).view(np.uint32).reshape(-1, 5)
                 win_parts.append(w)
                 long_rows.append(i)
                 long_lens.append(len(w))
@@ -250,7 +260,7 @@ def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
         o = out.astype(np.int64)
         return pd.Series([row.tolist() for row in o])
 
-    _UDF_CACHE[("minhash", num_hashes)] = _sig
+    _UDF_CACHE[("minhash", num_hashes, _ctx_key())] = _sig
     return _sig(col)
 
 
@@ -278,8 +288,21 @@ _NULL_FP = "__null__"
 # memoized pandas-UDF wrappers (keyed by their closure parameters): a
 # @pandas_udf declaration costs driver-side py4j round trips per call
 # site, and the wrapped function is parameter-identical across calls —
-# construction caching only, execution is untouched
+# construction caching only, execution is untouched. UDF keys include
+# the active SparkContext's identity (r7 review): a cached wrapper's
+# lazily-created _judf binds that context's accumulator server, so
+# reusing it after spark.stop()+restart would target a dead accumulator.
+# Pure Column/expression entries (band explodes, pair expressions) carry
+# no context state and are cached without it.
 _UDF_CACHE: dict[tuple, object] = {}
+
+
+def _ctx_key() -> int:
+    """Identity of the active SparkContext (0 when none yet) — cache-key
+    component for context-bound cached objects."""
+    from pyspark import SparkContext
+
+    return id(SparkContext._active_spark_context)
 
 
 def _fingerprint_nn(col: Column) -> Column:
@@ -452,20 +475,26 @@ def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
 
 
 def _drop_oversized(buckets: DataFrame, dropped: DataFrame) -> DataFrame:
-    """Remove capped buckets via a left-anti BROADCAST join against the
-    (tiny) oversized list. r7 replacement for the keep-side semi join of
+    """Remove capped buckets via a left-anti join against the oversized
+    list. r7 replacement for the keep-side semi join of
     :func:`_cap_buckets` on the guarded tiers: at 10^12 docs the
     keep-list is essentially EVERY bucket key (billions of rows — a semi
     join degrades to shuffling the bucket rows a second time), while the
-    capped list is the rare degenerate tail the cap exists for — so ship
-    the exception list, not the rule. The count aggregate feeding
-    ``dropped`` still runs with map-side partial aggregation over narrow
-    (band, band_key) rows, so a mega-bucket never concentrates rows
-    anywhere before it is counted. Same kept set: n <= cap vs n > cap
-    partition the bucket keys, and band keys are never NULL (md5 of a
-    non-null string / a bit-slice of a non-null long)."""
+    capped list is the exception tail the cap exists for — so ship the
+    exception list, not the rule. Deliberately UNHINTED (r7 review):
+    when the dropped list is small the planner/AQE picks the broadcast
+    anti-join anyway (verified: identical BroadcastHashJoin LeftAnti
+    executed plan, timing equal within noise), but a pathological corpus
+    whose dropped list is itself huge falls back to a size-checked
+    shuffled join instead of failing an unconditional 8 GB broadcast.
+    The count aggregate feeding ``dropped`` still runs with map-side
+    partial aggregation over narrow (band, band_key) rows, so a
+    mega-bucket never concentrates rows anywhere before it is counted.
+    Same kept set: n <= cap vs n > cap partition the bucket keys, and
+    band keys are never NULL (md5 of a non-null string / a bit-slice of
+    a non-null long)."""
     return buckets.join(
-        F.broadcast(dropped.select("band", "band_key")), ["band", "band_key"], "left_anti"
+        dropped.select("band", "band_key"), ["band", "band_key"], "left_anti"
     )
 
 
@@ -872,7 +901,7 @@ def simhash_col(col: Column) -> Column:
     """
     from pyspark.sql.types import LongType
 
-    cached = _UDF_CACHE.get(("simhash",))
+    cached = _UDF_CACHE.get(("simhash", _ctx_key()))
     if cached is not None:
         return cached(col)
 
@@ -910,7 +939,7 @@ def simhash_col(col: Column) -> Column:
         sigs = np.packbits(bits, axis=1).view(">u8").astype(np.uint64).reshape(n)
         return pd.Series(sigs.view(np.int64))
 
-    _UDF_CACHE[("simhash",)] = _simhash
+    _UDF_CACHE[("simhash", _ctx_key())] = _simhash
     return _simhash(col)
 
 

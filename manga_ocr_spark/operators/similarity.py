@@ -95,10 +95,18 @@ def cosine_topk(
 # batch. Deterministic, so a cached copy is identical by construction.
 _PLANES_CACHE: dict[tuple[int, int, int, int], "np.ndarray"] = {}
 
-# memoized pandas-UDF wrappers keyed by their closure parameters —
+# memoized pandas-UDF wrappers keyed by their closure parameters PLUS
+# the active SparkContext identity (a cached wrapper's lazily-created
+# _judf binds that context's accumulator server — see dedup._ctx_key) —
 # construction caching only (a @pandas_udf declaration costs driver-side
 # py4j round trips; the wrapped function is parameter-identical)
 _UDF_CACHE: dict[tuple, object] = {}
+
+
+def _ctx_key() -> int:
+    from pyspark import SparkContext
+
+    return id(SparkContext._active_spark_context)
 
 
 def _plane_matrix(seed: int, dim: int, bits: int, bands: int = 1) -> "np.ndarray":
@@ -139,7 +147,7 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     ~10x slower; sign tests over dense vectors are exactly what vectorized
     UDFs are for.
     """
-    cached = _UDF_CACHE.get(("sig", dim, bits, seed))
+    cached = _UDF_CACHE.get(("sig", dim, bits, seed, _ctx_key()))
     if cached is not None:
         return cached(vec)
 
@@ -151,7 +159,7 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
         weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
         return pd.Series(((dots > 0) @ weights).astype(np.int64))
 
-    _UDF_CACHE[("sig", dim, bits, seed)] = _sig
+    _UDF_CACHE[("sig", dim, bits, seed, _ctx_key())] = _sig
     return _sig(vec)
 
 
@@ -170,7 +178,7 @@ def hyperplane_signatures(
 
     from pyspark.sql.types import ArrayType
 
-    cached = _UDF_CACHE.get(("sigs", dim, bits, bands, seed))
+    cached = _UDF_CACHE.get(("sigs", dim, bits, bands, seed, _ctx_key()))
     if cached is not None:
         return cached(vec)
 
@@ -183,7 +191,7 @@ def hyperplane_signatures(
         sigs = (signs @ weights).astype(np.int64)  # (n, bands)
         return pd.Series(list(sigs))
 
-    _UDF_CACHE[("sigs", dim, bits, bands, seed)] = _sigs
+    _UDF_CACHE[("sigs", dim, bits, bands, seed, _ctx_key())] = _sigs
     return _sigs(vec)
 
 
